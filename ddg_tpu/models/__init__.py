@@ -1,0 +1,40 @@
+"""Denoiser backbones (DiT, DiMamba, UNet) and the ModelApply adapters
+bridging flax modules to the functional diffusion core."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ddg_tpu.models.dit import DIT, DITClassifier, DITConfig  # noqa: F401
+
+
+def make_model_apply(module):
+    """Wrap a flax denoiser module into the ModelApply protocol:
+    (params, x, sigma, cond, x_emb, *, train, rng,
+     return_hidden_states=False) -> logits [,(hidden)]."""
+
+    def apply(params, x, sigma, cond=None, x_emb=None, *,
+              train: bool = False, rng=None,
+              return_hidden_states: bool = False):
+        rngs = {'dropout': rng} if (train and rng is not None) else None
+        return module.apply(
+            {'params': params}, x, sigma, cond, x_emb, train=train,
+            return_hidden_states=return_hidden_states, rngs=rngs)
+
+    return apply
+
+
+def make_classifier_apply(module):
+    """Classifier protocol: (params, x_or_one_hot, sigma, x_emb=None,
+    attention_mask=None) -> logits (B, ..., num_classes)."""
+
+    def apply(params, x, sigma, x_emb=None, attention_mask=None, *,
+              train: bool = False, rng=None):
+        rngs = {'dropout': rng} if (train and rng is not None) else None
+        return module.apply({'params': params}, x, sigma, x_emb,
+                            attention_mask, train=train, rngs=rngs)
+
+    return apply

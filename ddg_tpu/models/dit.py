@@ -1,0 +1,298 @@
+"""Diffusion Transformer (DiT) denoiser + classifier, flax.linen.
+
+TPU-first re-design of the reference DiT (/root/reference/models/dit.py):
+  * RoPE applied as an einsum-style rotation fused by XLA (the reference
+    calls flash-attn's CUDA `apply_rotary_emb_qkv_`, dit.py:116-121);
+  * attention via `jax.nn.dot_product_attention` (maps to the XLA/TPU
+    fused attention; the reference uses torch SDPA, dit.py:304-307);
+  * adaLN-zero modulation (6 params/block) with zero-init modulation
+    projections, matching dit.py:249-254;
+  * timestep sinusoidal embedder + MLP (dit.py:155-199), label embedder
+    with a null class for CFG (dit.py:202-213, 387-395);
+  * bf16 trunk / fp32 logits dtype policy instead of the reference's
+    per-layer fp16/bf16 autocast (dit.py:454-464) — on TPU the MXU is
+    bf16-native and fp32 accumulation is the default.
+
+The module is pure: parameters are a pytree, dropout/noise flows through
+explicit rngs, and `return_hidden_states` exposes the final trunk state
+for NOS guidance (dit.py:426-467).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DITConfig:
+    hidden_size: int = 768
+    cond_dim: int = 128
+    length: int = 1024
+    n_blocks: int = 12
+    n_heads: int = 12
+    dropout: float = 0.1
+    vocab_size: int = 258
+    causal: bool = False          # True iff parameterization == 'ar'
+    use_adaLN: bool = True        # False only for pure AR without cond
+    num_classes: Optional[int] = None  # +1 null class added internally
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+
+def timestep_embedding(t: jax.Array, dim: int,
+                       max_period: float = 10_000.0) -> jax.Array:
+    """Sinusoidal features of sigma, fp32 (reference dit.py:169-193)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def rope_cos_sin(length: int, head_dim: int, base: float = 10_000.0):
+    """Rotary cos/sin tables, fp32, shape (L, head_dim//2)."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, head_dim, 2,
+                                          dtype=jnp.float32) / head_dim))
+    t = jnp.arange(length, dtype=jnp.float32)
+    freqs = jnp.einsum('i,j->ij', t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate (B, L, H, D) q or k by interleaved-half RoPE.
+
+    Matches the reference's rotate_half convention (dit.py:111-121): the
+    head dim is split into two halves (x1, x2) and rotated as
+    (x1*cos - x2*sin, x2*cos + x1*sin). fp32 rotation, cast back.
+    """
+    dtype = x.dtype
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2].astype(jnp.float32), x[..., d2:].astype(jnp.float32)
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(dtype)
+
+
+class AdaLNLayerNorm(nn.Module):
+    """LayerNorm with learned scale only, fp32 normalization
+    (reference LayerNorm, dit.py:131-139)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param('weight', nn.initializers.ones, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * w[None, None, :]).astype(x.dtype)
+
+
+def modulate(x, shift, scale):
+    """x * (1 + scale) + shift with (B, D) shift/scale (dit.py:124-125)."""
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+class DDiTBlock(nn.Module):
+    cfg: DITConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, c, *, train: bool):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dt = cfg.compute_dtype
+
+        if cfg.use_adaLN:
+            mod = nn.Dense(6 * dim, use_bias=True,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           dtype=dt, name='adaLN_modulation')(c)
+            (shift_msa, scale_msa, gate_msa,
+             shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        else:
+            shift_msa = scale_msa = gate_msa = None
+            shift_mlp = scale_mlp = gate_mlp = None
+
+        # --- attention ---
+        x_skip = x
+        h = AdaLNLayerNorm(dim, name='norm1')(x)
+        if cfg.use_adaLN:
+            h = modulate(h, shift_msa, scale_msa)
+        qkv = nn.Dense(3 * dim, use_bias=False, dtype=dt,
+                       name='attn_qkv')(h)
+        B, L = x.shape[0], x.shape[1]
+        head_dim = dim // cfg.n_heads
+        qkv = qkv.reshape(B, L, 3, cfg.n_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = jax.nn.dot_product_attention(
+            q, k, v, is_causal=cfg.causal)
+        attn = attn.reshape(B, L, dim)
+        h = nn.Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
+        h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        if cfg.use_adaLN:
+            h = gate_msa[:, None] * h
+        x = x_skip + h
+
+        # --- mlp ---
+        x_skip = x
+        h = AdaLNLayerNorm(dim, name='norm2')(x)
+        if cfg.use_adaLN:
+            h = modulate(h, shift_mlp, scale_mlp)
+        h = nn.Dense(4 * dim, use_bias=True, dtype=dt, name='mlp_in')(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(dim, use_bias=True, dtype=dt, name='mlp_out')(h)
+        h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        if cfg.use_adaLN:
+            h = gate_mlp[:, None] * h
+        return x_skip + h
+
+
+class TimestepEmbedder(nn.Module):
+    cond_dim: int
+    freq_dim: int = 256
+
+    @nn.compact
+    def __call__(self, sigma):
+        h = timestep_embedding(sigma, self.freq_dim)
+        h = nn.Dense(self.cond_dim, name='mlp1')(h)
+        h = nn.silu(h)
+        return nn.Dense(self.cond_dim, name='mlp2')(h)
+
+
+class DIT(nn.Module):
+    """Denoiser: (indices, sigma, cond, x_emb) -> logits (B, L, V).
+
+    Signature parity with reference DIT.forward (dit.py:426-429);
+    `x_emb` bypasses the trunk (NOS hook), `return_hidden_states` returns
+    the final trunk hidden state alongside the logits.
+    """
+    cfg: DITConfig
+
+    @nn.compact
+    def __call__(self, indices, sigma, cond=None, x_emb=None, *,
+                 train: bool = False, return_hidden_states: bool = False):
+        cfg = self.cfg
+        if cfg.causal:
+            c = None
+        else:
+            c = nn.silu(TimestepEmbedder(cfg.cond_dim,
+                                         name='sigma_map')(sigma))
+        if cond is not None:
+            assert cfg.num_classes is not None, (
+                'Conditioning variable provided, but model was not '
+                'initialized with condition embedding layer.')
+            cond_emb = nn.Embed(cfg.num_classes + 1, cfg.cond_dim,
+                                name='cond_map')(cond)
+            cond_emb = nn.silu(cond_emb)
+            c = cond_emb if c is None else c + cond_emb
+        if c is not None:
+            c = c.astype(cfg.compute_dtype)
+
+        if x_emb is None:
+            embed = self.param(
+                'vocab_embed',
+                nn.initializers.variance_scaling(
+                    1 / 3, 'fan_in', 'uniform'),
+                (cfg.vocab_size, cfg.hidden_size))
+            x = embed[indices].astype(cfg.compute_dtype)
+            head_dim = cfg.hidden_size // cfg.n_heads
+            cos, sin = rope_cos_sin(x.shape[1], head_dim)
+            for i in range(cfg.n_blocks):
+                x = DDiTBlock(cfg, name=f'block_{i}')(
+                    x, cos, sin, c, train=train)
+        else:
+            x = x_emb.astype(cfg.compute_dtype)
+
+        hidden = x
+        # Output head: fp32 logits (dtype policy; reference runs the head
+        # in bf16 autocast but our parity target is the fp32 math).
+        h = AdaLNLayerNorm(cfg.hidden_size, name='norm_final')(x)
+        if cfg.use_adaLN and c is not None:
+            mod = nn.Dense(2 * cfg.hidden_size, use_bias=True,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           dtype=cfg.compute_dtype,
+                           name='final_adaLN')(c)
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            h = modulate(h, shift, scale)
+        logits = nn.Dense(cfg.vocab_size,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          dtype=jnp.float32, name='output_linear')(
+            h.astype(jnp.float32))
+        if return_hidden_states:
+            return logits, hidden
+        return logits
+
+
+class DITClassifier(nn.Module):
+    """Classifier trunk + pooling head (reference dit.py:470-556).
+
+    Accepts indices (B, L) or one-hot/soft inputs (B, L, V) — the latter
+    enables d(log p)/d(one-hot) gradients for CBG-approx — and `x_emb`
+    to classify a hidden state directly (NOS).
+    Poolings: mean, max, cls, last, no_pooling (FUDGE), attention_mean.
+    """
+    cfg: DITConfig
+    num_classes: int = 2
+    pooling: str = 'mean'
+
+    @nn.compact
+    def __call__(self, indices_or_one_hots, sigma, x_emb=None,
+                 attention_mask=None, *, train: bool = False):
+        cfg = self.cfg
+        if x_emb is None:
+            embed = self.param(
+                'vocab_embed',
+                nn.initializers.variance_scaling(
+                    1 / 3, 'fan_in', 'uniform'),
+                (cfg.vocab_size, cfg.hidden_size))
+            if indices_or_one_hots.ndim == 2:
+                x = embed[indices_or_one_hots]
+            else:
+                x = indices_or_one_hots.astype(jnp.float32) @ embed
+            x = x.astype(cfg.compute_dtype)
+            if cfg.causal:
+                c = None
+            else:
+                c = nn.silu(TimestepEmbedder(cfg.cond_dim,
+                                             name='sigma_map')(sigma))
+                c = c.astype(cfg.compute_dtype)
+            head_dim = cfg.hidden_size // cfg.n_heads
+            cos, sin = rope_cos_sin(x.shape[1], head_dim)
+            for i in range(cfg.n_blocks):
+                x = DDiTBlock(cfg, name=f'block_{i}')(
+                    x, cos, sin, c, train=train)
+        else:
+            x = x_emb.astype(cfg.compute_dtype)
+
+        if self.pooling == 'mean':
+            x = x.mean(axis=1)
+        elif self.pooling == 'max':
+            x = x.max(axis=1)
+        elif self.pooling == 'cls':
+            x = x[:, 0]
+        elif self.pooling == 'last':
+            x = x[:, -1]
+        elif self.pooling == 'no_pooling':
+            pass
+        elif self.pooling == 'attention_mean':
+            m = attention_mask[..., None].astype(x.dtype)
+            x = (x * m).sum(axis=1) / (m.sum(axis=1) + 1e-15)
+        else:
+            raise NotImplementedError(
+                f'`{self.pooling}` method not implemented.')
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name='output_layer')(x.astype(jnp.float32))

@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip hardware isn't available in CI; sharding correctness is
+validated on `--xla_force_host_platform_device_count=8` CPU devices, the
+JAX-recommended pattern for testing pjit/Mesh code paths.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
