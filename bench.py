@@ -1,0 +1,95 @@
+"""Benchmark: LM1B-class guided sampling throughput (the BASELINE.json
+north star).
+
+Config: DiT-small (hidden 768, 12 blocks/heads), vocab 30523 (bert-base
++ mask), seq len 128, MDLM absorbing-state diffusion, T=1000 steps,
+D-CFG guidance gamma=2 (cond+uncond in one batched forward per step).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip",
+   "vs_baseline": N}
+
+`vs_baseline` is measured throughput divided by the estimated reference
+A100 throughput for the same workload. The reference publishes no
+numbers (SURVEY §6), so the denominator is a FLOPs-based estimate:
+2 sequential DiT-small forwards/step (diffusion.py:1448-1455), ~2*N*L
+FLOPs per forward with N=110e6, L=128 -> ~56 GFLOP/sample/step, A100
+bf16 at 40% MFU (125 TFLOP/s) -> ~2.2 samples/sec at T=1000. We use
+2.2; the target is vs_baseline >= 5.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_SAMPLES_PER_SEC = 2.2
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--steps', type=int, default=1000)
+    p.add_argument('--quick', action='store_true',
+                   help='tiny model for CPU smoke runs')
+    args = p.parse_args()
+
+    from __graft_entry__ import _flagship
+    from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
+                                  diffusion_sample)
+    import dataclasses
+
+    spec, cfg, model, apply_fn = _flagship(tiny=args.quick)
+    spec = dataclasses.replace(spec, num_classes=2)
+    cfg = dataclasses.replace(cfg, num_classes=2)
+    from ddg_tpu.models import DIT, make_model_apply
+    model = DIT(cfg)
+    apply_fn = make_model_apply(model)
+
+    if args.quick:
+        args.batch, args.steps = 4, 16
+
+    rng = jax.random.PRNGKey(0)
+    x_init = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)
+    cond_init = jnp.zeros((1,), jnp.int32)
+    params = model.init(rng, x_init, jnp.ones((1,)), cond_init)['params']
+
+    sampler = SamplerSpec(steps=args.steps, use_cache=False)
+    guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
+    cond = jnp.zeros((args.batch,), jnp.int32)
+
+    @jax.jit
+    def run(params, key):
+        return diffusion_sample(
+            spec, sampler, apply_fn, params, key,
+            batch_size=args.batch, length=cfg.length,
+            guidance=guidance, cond=cond)
+
+    # Warmup/compile
+    out = run(params, jax.random.PRNGKey(1))
+    out.block_until_ready()
+
+    n_iters = 3 if not args.quick else 1
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run(params, jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    n_chips = jax.device_count()
+    samples_per_sec_chip = args.batch / dt / n_chips
+    print(json.dumps({
+        'metric': f'LM1B D-CFG samples/sec/chip (T={args.steps}, '
+                  f'B={args.batch}, '
+                  f'{"tiny" if args.quick else "DiT-small"})',
+        'value': round(samples_per_sec_chip, 4),
+        'unit': 'samples/sec/chip',
+        'vs_baseline': round(
+            samples_per_sec_chip / A100_BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

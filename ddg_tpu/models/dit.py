@@ -112,7 +112,8 @@ class DDiTBlock(nn.Module):
         dim = cfg.hidden_size
         dt = cfg.compute_dtype
 
-        if cfg.use_adaLN:
+        use_adaLN = cfg.use_adaLN and c is not None
+        if use_adaLN:
             mod = nn.Dense(6 * dim, use_bias=True,
                            kernel_init=nn.initializers.zeros,
                            bias_init=nn.initializers.zeros,
@@ -126,7 +127,7 @@ class DDiTBlock(nn.Module):
         # --- attention ---
         x_skip = x
         h = AdaLNLayerNorm(dim, name='norm1')(x)
-        if cfg.use_adaLN:
+        if use_adaLN:
             h = modulate(h, shift_msa, scale_msa)
         qkv = nn.Dense(3 * dim, use_bias=False, dtype=dt,
                        name='attn_qkv')(h)
@@ -141,20 +142,20 @@ class DDiTBlock(nn.Module):
         attn = attn.reshape(B, L, dim)
         h = nn.Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
-        if cfg.use_adaLN:
+        if use_adaLN:
             h = gate_msa[:, None] * h
         x = x_skip + h
 
         # --- mlp ---
         x_skip = x
         h = AdaLNLayerNorm(dim, name='norm2')(x)
-        if cfg.use_adaLN:
+        if use_adaLN:
             h = modulate(h, shift_mlp, scale_mlp)
         h = nn.Dense(4 * dim, use_bias=True, dtype=dt, name='mlp_in')(h)
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(dim, use_bias=True, dtype=dt, name='mlp_out')(h)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
-        if cfg.use_adaLN:
+        if use_adaLN:
             h = gate_mlp[:, None] * h
         return x_skip + h
 

@@ -1,0 +1,173 @@
+"""Data layer tests: tokenizer round-trips, dataset shaping, loader
+fault tolerance."""
+
+import numpy as np
+import pytest
+
+from ddg_tpu.data import datasets as D
+from ddg_tpu.data.loader import FaultTolerantLoader
+from ddg_tpu.data.tokenizers import (DummyVisionTokenizer, QM9Tokenizer,
+                                     Text8Tokenizer, Zinc250kTokenizer)
+
+
+class TestText8Tokenizer:
+    def test_vocab_layout_parity(self):
+        tok = Text8Tokenizer()
+        assert tok.vocab_size == 35
+        assert tok.vocab['[BOS]'] == 2 and tok.vocab['[EOS]'] == 3
+        assert tok.vocab['[MASK]'] == 4 and tok.vocab['[PAD]'] == 5
+        assert tok.vocab['a'] == 8 and tok.vocab[' '] == 34
+
+    def test_roundtrip(self):
+        tok = Text8Tokenizer()
+        ids = tok.encode('hello world', add_special_tokens=False)
+        assert tok.decode(ids) == 'hello world'
+        ids2 = tok.encode('hello', add_special_tokens=True)
+        assert ids2[0] == 2 and ids2[-1] == 3
+
+
+class TestSMILESTokenizer:
+    def test_qm9_vocab_parity(self):
+        tok = QM9Tokenizer()
+        assert tok.vocab_size == 35  # 5 specials + 30 tokens
+        assert tok.vocab['<bos>'] == 0 and tok.vocab['<unk>'] == 4
+        assert tok.vocab['#'] == 5 and tok.vocab['o'] == 34
+
+    def test_zinc_vocab_matches_reference_file(self):
+        import json
+        ref = json.load(open(
+            '/root/reference/notebooks/zinc250k_vocab.json'))
+        tok = Zinc250kTokenizer()
+        for t, i in ref.items():
+            assert tok.vocab[t] == i + 5, t
+        assert tok.vocab_size == len(ref) + 5
+
+    def test_regex_tokenization(self):
+        tok = QM9Tokenizer()
+        ids = tok.encode('C[NH3+]c1ccccc1', add_special_tokens=False)
+        toks = [tok.ids_to_tokens[i] for i in ids]
+        assert toks == ['C', '[NH3+]', 'c', '1', 'c', 'c', 'c', 'c',
+                        'c', '1']
+        assert tok.decode(tok.encode('C(=O)N')) == 'C(=O)N'
+
+
+def test_vision_tokenizer_decode_shape():
+    tok = DummyVisionTokenizer()
+    imgs = tok.batch_decode(np.zeros((2, 3072), np.int32))
+    assert imgs.shape == (2, 3, 32, 32)
+
+
+class TestText8Dataset:
+    def test_shapes_and_cache(self, tmp_path):
+        data = D.load_text8(str(tmp_path), max_seq_length=64,
+                            synthetic=True, synthetic_chars=100_000)
+        assert set(data) == {'train', 'validation', 'test'}
+        assert data['train']['input_ids'].shape[1] == 64
+        assert data['train']['input_ids'].shape[0] == 90_000 // 64
+        # ids all within char range (no specials in raw text8)
+        assert data['train']['input_ids'].min() >= 8
+        # cache round-trip
+        data2 = D.load_text8(str(tmp_path), max_seq_length=64,
+                             synthetic=True, synthetic_chars=100_000)
+        np.testing.assert_array_equal(data['train']['input_ids'],
+                                      data2['train']['input_ids'])
+
+    def test_crop_train_doubles_train_len(self, tmp_path):
+        data = D.load_text8(str(tmp_path), max_seq_length=64,
+                            crop_train=True, synthetic=True,
+                            synthetic_chars=100_000)
+        assert data['train']['input_ids'].shape[1] == 128
+        assert data['validation']['input_ids'].shape[1] == 64
+
+    def test_missing_raw_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            D.load_text8(str(tmp_path / 'nope'), synthetic=False)
+
+
+class TestGroupAndPad:
+    def test_group_texts_wraps_with_bos_eos(self):
+        lists = [[10, 11, 12], [13, 14, 15, 16, 17]]
+        out = D.group_texts(lists, block_size=5, bos=2, eos=3)
+        assert out['input_ids'].shape == (2, 5)
+        np.testing.assert_array_equal(out['input_ids'][0],
+                                      [2, 10, 11, 12, 3])
+        np.testing.assert_array_equal(out['input_ids'][1],
+                                      [2, 13, 14, 15, 3])
+
+    def test_pad_texts(self):
+        out = D.pad_texts([[1, 2], [1, 2, 3, 4, 5, 6]], block_size=4,
+                          pad=0)
+        np.testing.assert_array_equal(out['input_ids'],
+                                      [[1, 2, 0, 0], [1, 2, 3, 4]])
+        np.testing.assert_array_equal(out['attention_mask'],
+                                      [[1, 1, 0, 0], [1, 1, 1, 1]])
+
+    def test_percentile_labels(self):
+        vals = np.arange(100, dtype=np.float32)
+        labels = D.percentile_threshold_labels(vals, 4)
+        counts = np.bincount(labels)
+        assert len(counts) == 4
+        assert counts.min() >= 24  # roughly balanced quartiles
+
+
+class TestQM9Dataset:
+    def test_synthetic_schema(self, tmp_path):
+        data = D.load_qm9(str(tmp_path), block_size=32, num_classes=2,
+                          synthetic=True)
+        for split in ['train', 'test']:
+            assert data[split]['input_ids'].shape[1] == 32
+            assert set(np.unique(data[split]['label'])) <= {0, 1}
+        # seeded split is deterministic
+        data2 = D.load_qm9(str(tmp_path), block_size=32, num_classes=2,
+                           synthetic=True)
+        np.testing.assert_array_equal(data['test']['input_ids'],
+                                      data2['test']['input_ids'])
+
+
+def test_cifar10_synthetic():
+    data = D.load_cifar10('/tmp/nonexistent', synthetic=True)
+    assert data['train']['input_ids'].shape == (256, 3072)
+    assert data['train']['input_ids'].max() < 256
+
+
+class TestLoader:
+    def _data(self, n=64):
+        return {'input_ids': np.arange(n)[:, None].repeat(4, 1),
+                'attention_mask': np.ones((n, 4), np.float32)}
+
+    def test_epoch_covers_all(self):
+        loader = FaultTolerantLoader(self._data(), 8, seed=1,
+                                     process_index=0, process_count=1)
+        it = iter(loader)
+        seen = []
+        for _ in range(8):
+            seen.append(next(it)['input_ids'][:, 0])
+        assert sorted(np.concatenate(seen).tolist()) == list(range(64))
+
+    def test_host_sharding_disjoint(self):
+        loaders = [FaultTolerantLoader(self._data(), 8, seed=1,
+                                       process_index=i, process_count=2)
+                   for i in range(2)]
+        seen = [[], []]
+        for i, ld in enumerate(loaders):
+            it = iter(ld)
+            for _ in range(4):
+                seen[i].extend(next(it)['input_ids'][:, 0].tolist())
+        assert not (set(seen[0]) & set(seen[1]))
+        assert len(set(seen[0]) | set(seen[1])) == 64
+
+    def test_resume_mid_epoch(self):
+        loader = FaultTolerantLoader(self._data(), 8, seed=3,
+                                     process_index=0, process_count=1)
+        it = iter(loader)
+        consumed = [next(it)['input_ids'][:, 0] for _ in range(3)]
+        ckpt = loader.state_dict()
+        rest = [next(it)['input_ids'][:, 0] for _ in range(5)]
+
+        loader2 = FaultTolerantLoader(self._data(), 8, seed=3,
+                                      process_index=0, process_count=1)
+        loader2.load_state_dict(ckpt)
+        it2 = iter(loader2)
+        rest2 = [next(it2)['input_ids'][:, 0] for _ in range(5)]
+        np.testing.assert_array_equal(np.concatenate(rest),
+                                      np.concatenate(rest2))
