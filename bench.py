@@ -34,6 +34,8 @@ def main():
     p.add_argument('--steps', type=int, default=1000)
     p.add_argument('--quick', action='store_true',
                    help='tiny model for CPU smoke runs')
+    p.add_argument('--no-cache', action='store_true',
+                   help='disable the MDLM NFE cache')
     args = p.parse_args()
 
     from __graft_entry__ import _flagship
@@ -56,7 +58,10 @@ def main():
     cond_init = jnp.zeros((1,), jnp.int32)
     params = model.init(rng, x_init, jnp.ones((1,)), cond_init)['params']
 
-    sampler = SamplerSpec(steps=args.steps, use_cache=False)
+    # use_cache=True is the reference default (configs/config.yaml
+    # sampling.use_cache); valid for MDLM because decoded tokens are
+    # frozen — cached steps skip the denoiser forward via lax.cond.
+    sampler = SamplerSpec(steps=args.steps, use_cache=not args.no_cache)
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
     cond = jnp.zeros((args.batch,), jnp.int32)
 

@@ -23,8 +23,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ddg_tpu.data.tokenizers import (QM9Tokenizer, Text8Tokenizer,
-                                     Tokenizer)
+from ddg_tpu.data.tokenizers import (DNATokenizer, QM9Tokenizer,
+                                     Text8Tokenizer, Tokenizer)
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +258,87 @@ def load_qm9(cache_dir: str, block_size: int = 32, *,
         save[f'{split}_label'] = out[split]['label']
     os.makedirs(cache_dir, exist_ok=True)
     np.savez(cache, **save)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Species10 genomics
+# ---------------------------------------------------------------------------
+
+_COMPLEMENT = str.maketrans('ACGTacgt', 'TGCAtgca')
+
+
+def reverse_complement(seq: str) -> str:
+    """DNA reverse complement (non-ACGT characters pass through,
+    reference ten_species_dataset.py:13-33)."""
+    return seq.translate(_COMPLEMENT)[::-1]
+
+
+def rc_augment(ids: np.ndarray, rng: np.random.RandomState,
+               *, tokenizer: Optional[DNATokenizer] = None) -> np.ndarray:
+    """Batch-level reverse-complement augmentation on token ids:
+    A<->T (7<->10), C<->G (8<->9), sequence reversed; applied per row
+    with p=0.5."""
+    tok = tokenizer or DNATokenizer()
+    lut = np.arange(len(tok.vocab), dtype=ids.dtype)
+    a, c, g, t = (tok.vocab[x] for x in 'ACGT')
+    lut[a], lut[t] = t, a
+    lut[c], lut[g] = g, c
+    flip = rng.rand(ids.shape[0]) < 0.5
+    out = ids.copy()
+    out[flip] = lut[ids[flip]][:, ::-1]
+    return out
+
+
+def load_ten_species(cache_dir: str, max_length: int = 32768, *,
+                     synthetic: bool = False, n_synthetic: int = 64
+                     ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Species10: chunked genomes with species labels; 95/5 split seed
+    42 (reference ten_species_dataset.py:35-90)."""
+    tok = DNATokenizer()
+    if synthetic:
+        rs = np.random.RandomState(0)
+        # species-dependent base composition so classifiers can learn
+        probs = rs.dirichlet(np.ones(4) * 2, size=10)
+        ids_list, labels = [], []
+        for i in range(n_synthetic):
+            label = i % 10
+            bases = rs.choice(4, size=max_length, p=probs[label]) + 7
+            ids_list.append(bases.astype(np.int32))
+            labels.append(label)
+        ids = np.stack(ids_list)
+        labels = np.asarray(labels, np.int32)
+    else:
+        try:
+            import datasets as hf_datasets
+            ds = hf_datasets.load_dataset(
+                'yairschiff/ten_species', split='train',
+                chunk_length=max_length, overlap=0,
+                trust_remote_code=True)
+            lut = np.full(256, tok.unk_token_id, np.int32)
+            for ch, idx in tok.vocab.items():
+                if len(ch) == 1:
+                    lut[ord(ch)] = idx
+                    lut[ord(ch.lower())] = idx
+            ids = np.stack([
+                lut[np.frombuffer(
+                    s.encode('latin-1')[:max_length], np.uint8)]
+                for s in ds['sequence']])
+            labels = np.asarray(ds['species_label'], np.int32)
+        except Exception as e:
+            raise FileNotFoundError(
+                'ten_species dataset unavailable offline; pass '
+                f'synthetic=True ({e})') from e
+    rs = np.random.RandomState(42)
+    perm = rs.permutation(len(ids))
+    n_test = max(1, int(0.05 * len(perm)))
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+    out = {}
+    for split, idx in [('train', train_idx), ('test', test_idx)]:
+        out[split] = {
+            'input_ids': ids[idx],
+            'attention_mask': np.ones_like(ids[idx], np.float32),
+            'label': labels[idx]}
     return out
 
 

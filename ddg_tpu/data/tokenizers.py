@@ -83,11 +83,14 @@ class Tokenizer:
             self._ids_to_tokens = {v: k for k, v in self.vocab.items()}
         return self._ids_to_tokens
 
+    _extra_special_ids: frozenset = frozenset()
+
     @property
     def special_ids(self):
         return {i for i in [self.bos_token_id, self.eos_token_id,
                             self.pad_token_id, self.mask_token_id,
-                            self.unk_token_id] if i is not None}
+                            self.unk_token_id] if i is not None
+                } | set(self._extra_special_ids)
 
 
 class Text8Tokenizer(Tokenizer):
@@ -105,6 +108,9 @@ class Text8Tokenizer(Tokenizer):
         self.mask_token_id = 4
         self.pad_token_id = 5
         self.unk_token_id = 7
+        # CLS/SEP/RESERVED also skip on decode (HF all-special-ids
+        # behavior of the reference tokenizer).
+        self._extra_special_ids = frozenset({0, 1, 6})
 
     def _tokenize(self, text: str) -> List[str]:
         return list(text.lower())
@@ -168,17 +174,30 @@ def Zinc250kTokenizer() -> SMILESTokenizer:
 
 class DummyVisionTokenizer(Tokenizer):
     """Identity 'tokenizer' for discretized images: ids are pixel values
-    (reference custom_datasets/discretized_cifar10.py:7-38).
+    (reference custom_datasets/discretized_cifar10.py:7-38; including its
+    quirk that bos reuses the mask id when both are enabled).
 
     decode returns the (B, 3072) flat pixel array reshaped to images.
     """
 
-    def __init__(self, vocab_size: int = 256, image_shape=(3, 32, 32)):
-        self._vocab_size = vocab_size
-        self.image_shape = image_shape
-        self.vocab = {str(i): i for i in range(vocab_size)}
-        self.mask_token_id = None
+    def __init__(self, vocab_size: int = 256, image_size: int = 32,
+                 add_mask_token: bool = True,
+                 add_special_tokens: bool = True):
+        base = vocab_size
         self.pad_token_id = None
+        if add_mask_token:
+            self.mask_token_id = base
+            vocab_size = base + 1
+        else:
+            self.mask_token_id = None
+        if add_special_tokens:
+            self.bos_token_id = base
+            self.eos_token_id = base + 1
+            vocab_size = vocab_size + 2
+        self._vocab_size = vocab_size
+        self.image_size = image_size
+        self.image_shape = (3, image_size, image_size)
+        self.vocab = {str(i): i for i in range(vocab_size)}
 
     @property
     def vocab_size(self) -> int:
@@ -187,6 +206,29 @@ class DummyVisionTokenizer(Tokenizer):
     def batch_decode(self, batch, skip_special_tokens: bool = True):
         arr = np.asarray(batch)
         return arr.reshape(arr.shape[0], *self.image_shape)
+
+
+class DNATokenizer(Tokenizer):
+    """Character-level DNA tokenizer, vocabulary-compatible with the
+    HyenaDNA/Caduceus CharacterTokenizer used by the reference for
+    Species10 (kuleshov-group/caduceus-*, reference
+    configs/data/ten_species.yaml): specials [CLS]=0 [SEP]=1 [BOS]=2
+    [MASK]=3 [PAD]=4 [RESERVED]=5 [UNK]=6, then A C G T N at 7..11."""
+
+    def __init__(self):
+        chars = list('ACGTN')
+        self.vocab = {'[CLS]': 0, '[SEP]': 1, '[BOS]': 2, '[MASK]': 3,
+                      '[PAD]': 4, '[RESERVED]': 5, '[UNK]': 6,
+                      **{ch: i + 7 for i, ch in enumerate(chars)}}
+        self.bos_token_id = 2
+        self.eos_token_id = 1  # SEP doubles as EOS (CharacterTokenizer)
+        self.mask_token_id = 3
+        self.pad_token_id = 4
+        self.unk_token_id = 6
+        self._extra_special_ids = frozenset({0, 5})
+
+    def _tokenize(self, text: str) -> List[str]:
+        return list(text.upper())
 
 
 class HFTokenizerAdapter(Tokenizer):
@@ -233,4 +275,6 @@ def get_tokenizer(dataset_name: str, hf_name: Optional[str] = None
         return Zinc250kTokenizer()
     if dataset_name == 'cifar10':
         return DummyVisionTokenizer()
+    if dataset_name == 'ten_species':
+        return DNATokenizer()
     return HFTokenizerAdapter(hf_name or 'bert-base-uncased')

@@ -1,0 +1,119 @@
+"""Evaluation utilities: perplexity, generative perplexity, entropy.
+
+Parity with the reference's `eval_utils.py` (/root/reference/eval_utils.py)
+and the metric definitions in diffusion.py:46-67: NLL/BPD/PPL are
+mask-weighted token means aggregated in float64 on host (the reference
+uses torchmetrics MeanMetric with f64 dtype).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+LOG2 = math.log(2)
+
+
+class MeanMetric:
+    """Weighted mean with float64 host accumulation (torchmetrics
+    MeanMetric parity, reference diffusion.py:46-67)."""
+
+    def __init__(self):
+        self.total = np.float64(0.0)
+        self.weight = np.float64(0.0)
+
+    def update(self, value_sum, weight) -> None:
+        self.total += np.float64(value_sum)
+        self.weight += np.float64(weight)
+
+    def compute(self) -> float:
+        return float(self.total / self.weight)
+
+    @property
+    def nll(self) -> float:
+        return self.compute()
+
+    @property
+    def bpd(self) -> float:
+        return self.compute() / LOG2
+
+    @property
+    def ppl(self) -> float:
+        return float(np.exp(self.compute()))
+
+
+def compute_ppl(eval_step, state, loader_iter, *, rng,
+                max_batches: Optional[int] = None) -> MeanMetric:
+    """Loop the valid split through the eval step (reference
+    eval_utils.py:10-25). eval_step returns {'nll_sum','token_count'}."""
+    import jax
+    metric = MeanMetric()
+    for i, batch in enumerate(loader_iter):
+        if max_batches is not None and i >= max_batches:
+            break
+        rng, step_rng = jax.random.split(rng)
+        out = eval_step(state, batch, step_rng)
+        metric.update(np.asarray(out['nll_sum']),
+                      np.asarray(out['token_count']))
+    return metric
+
+
+def unigram_entropy(samples_tokens: Iterable[Iterable[int]]) -> float:
+    """Mean per-sequence unigram entropy of generated token ids
+    (reference main.py:293-296)."""
+    entropies = []
+    for seq in samples_tokens:
+        counts = np.asarray(list(Counter(list(seq)).values()),
+                            dtype=np.float64)
+        p = counts / counts.sum()
+        entropies.append(float(-(p * np.log(p)).sum()))
+    return float(np.mean(entropies))
+
+
+def strip_special_and_decode(tokenizer, samples: np.ndarray) -> List[str]:
+    """Decode samples dropping PAD/MASK (reference main.py:263-276)."""
+    return tokenizer.batch_decode(samples, skip_special_tokens=True)
+
+
+def compute_generative_ppl(
+        texts: List[str], *,
+        judge_model_name: str = 'gpt2-large',
+        max_length: int = 1024,
+        batch_size: int = 8) -> float:
+    """Generative PPL under a pretrained causal-LM judge (reference
+    eval_utils.py:28-90): re-tokenize with the judge's tokenizer,
+    mask-weighted CE, exp of the token mean.
+
+    Requires the judge weights in the local HF cache (torch CPU path);
+    raises a clear error offline.
+    """
+    try:
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(judge_model_name)
+        model = AutoModelForCausalLM.from_pretrained(judge_model_name)
+    except Exception as e:
+        raise RuntimeError(
+            f'Generative-PPL judge {judge_model_name!r} unavailable '
+            f'(offline environment?): {e}') from e
+    model.eval()
+    if tok.pad_token is None:
+        tok.pad_token = tok.eos_token
+    metric = MeanMetric()
+    with torch.no_grad():
+        for i in range(0, len(texts), batch_size):
+            chunk = texts[i:i + batch_size]
+            enc = tok(chunk, return_tensors='pt', padding=True,
+                      truncation=True, max_length=max_length)
+            ids = enc['input_ids']
+            mask = enc['attention_mask']
+            logits = model(ids, attention_mask=mask).logits
+            logp = torch.log_softmax(logits[:, :-1].float(), dim=-1)
+            tgt = ids[:, 1:]
+            nll = -logp.gather(-1, tgt[..., None]).squeeze(-1)
+            m = mask[:, 1:].float()
+            metric.update(float((nll * m).sum()), float(m.sum()))
+    return metric.ppl

@@ -1,0 +1,718 @@
+"""Entry-point orchestration: config -> specs -> train / eval / sample.
+
+Mode dispatch parity with the reference's `main.py`
+(/root/reference/main.py:399-435): train, train_classifier, ppl_eval,
+gen_ppl_eval, lengths_eval, ppl_eval_all, lcsc, plus `sample` (the
+reference reaches sampling through eval modes).
+
+Run as:  python -m ddg_tpu.main mode=train data=text8 model=tiny ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddg_tpu.classifier import ClassifierSpec, make_classifier_train_step
+from ddg_tpu.config import Config, load_config
+from ddg_tpu.data import datasets as D
+from ddg_tpu.data.loader import FaultTolerantLoader, prefetch_to_device
+from ddg_tpu.data.tokenizers import get_tokenizer
+from ddg_tpu.diffusion import DiffusionSpec
+from ddg_tpu.eval_utils import (MeanMetric, compute_ppl,
+                                unigram_entropy)
+from ddg_tpu.models import (DIT, DITClassifier, DITConfig,
+                            make_classifier_apply, make_model_apply)
+from ddg_tpu.ops.noise_schedules import get_noise
+from ddg_tpu.parallel import mesh as mesh_lib
+from ddg_tpu.runtime.averaging import AveragingSpec, averaged_params
+from ddg_tpu.runtime.checkpoint import CheckpointManager
+from ddg_tpu.runtime.optim import OptimSpec
+from ddg_tpu.runtime.train_state import (init_train_state, make_eval_step,
+                                         make_train_step)
+from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec, ar_sample,
+                              diffusion_sample)
+from ddg_tpu.utils import MetricsLogger, get_logger
+
+LOGGER = get_logger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Builders: Config -> specs / modules / data
+# ---------------------------------------------------------------------------
+
+def build_tokenizer(config: Config):
+    name = config.data.train
+    return get_tokenizer(name, config.data.get('tokenizer_name_or_path'))
+
+
+def effective_vocab(config: Config, tokenizer) -> Tuple[int, int]:
+    """(vocab_size, mask_index) with the reference's mask-token rules
+    (diffusion.py:87-95)."""
+    vocab_size = tokenizer.vocab_size
+    if config.get('is_vision', False):
+        mask_index = tokenizer.mask_token_id
+        if mask_index is None:
+            mask_index = -1
+    elif tokenizer.mask_token_id is None:
+        mask_index = vocab_size
+        vocab_size += 1
+    else:
+        mask_index = tokenizer.mask_token_id
+    return vocab_size, mask_index
+
+
+def build_noise(config: Config):
+    return get_noise(config.noise.type,
+                     sigma_min=float(config.noise.get('sigma_min', 1e-4)),
+                     sigma_max=float(config.noise.get('sigma_max', 20)))
+
+
+def build_diffusion_spec(config: Config, tokenizer) -> DiffusionSpec:
+    vocab_size, mask_index = effective_vocab(config, tokenizer)
+    tg = config.training.get('guidance')
+    num_classes = config.data.get('num_classes')
+    return DiffusionSpec(
+        diffusion=config.diffusion,
+        parameterization=config.parameterization,
+        noise=build_noise(config),
+        vocab_size=vocab_size,
+        mask_index=mask_index,
+        T=int(config.T),
+        time_conditioning=bool(config.time_conditioning),
+        subs_masking=bool(config.subs_masking),
+        sampling_eps=float(config.training.sampling_eps),
+        antithetic_sampling=bool(config.training.antithetic_sampling),
+        importance_sampling=bool(config.training.importance_sampling),
+        change_of_variables=bool(config.training.change_of_variables),
+        label_smoothing=float(config.training.label_smoothing),
+        zero_recon_loss=bool(config.get('zero_recon_loss', False)),
+        use_simple_ce_loss=bool(config.training.use_simple_ce_loss),
+        compute_loss_on_pad_tokens=bool(
+            config.training.compute_loss_on_pad_tokens),
+        cond_dropout=(float(tg.cond_dropout) if tg is not None else 0.0),
+        num_classes=num_classes,
+        unrolling=bool(config.training.unrolling),
+        unrolling_steps=int(config.training.unrolling_steps),
+        unrolling_weight=float(config.training.unrolling_weight),
+        unrolling_ignore_diffusion_loss=bool(
+            config.training.unrolling_ignore_diffusion_loss),
+        noise_schedule_warmup=bool(
+            config.training.noise_schedule_warmup),
+        noise_schedule_warmup_fraction=float(
+            config.training.noise_schedule_warmup_fraction),
+        noise_schedule_uniform_warmup=bool(
+            config.training.get('noise_schedule_uniform', False)),
+        max_steps=int(config.trainer.max_steps),
+    )
+
+
+def _wants_cond(config: Config) -> bool:
+    """Conditioning is active when guidance is configured AND the
+    dataset carries labels (the reference requires
+    `training.guidance=null` on unconditional datasets,
+    diffusion.py:846-857)."""
+    if config.data.get('label_col') is None \
+            and config.data.get('num_classes') is None:
+        return False
+    tg = config.training.get('guidance')
+    g = config.get('guidance')
+    return ((tg is not None)
+            or (g is not None and g.get('method') == 'cfg'))
+
+
+def build_model(config: Config, spec: DiffusionSpec, *,
+                model_cfg_key: str = 'model'):
+    mc = config[model_cfg_key]
+    backbone = config.backbone
+    num_classes = (config.data.get('num_classes')
+                   if _wants_cond(config) else None)
+    if backbone in ('dit', 'hf_dit'):
+        cfg = DITConfig(
+            hidden_size=int(mc.hidden_size),
+            cond_dim=int(mc.cond_dim),
+            length=int(mc.length),
+            n_blocks=int(mc.n_blocks),
+            n_heads=int(mc.n_heads),
+            dropout=float(mc.dropout),
+            vocab_size=spec.vocab_size,
+            causal=spec.parameterization == 'ar',
+            use_adaLN=(spec.parameterization != 'ar'
+                       or num_classes is not None),
+            num_classes=num_classes,
+            compute_dtype=(jnp.bfloat16
+                           if str(config.trainer.precision) == 'bf16'
+                           else jnp.float32))
+        model = DIT(cfg)
+        return model, cfg, make_model_apply(model)
+    if backbone == 'dimamba':
+        from ddg_tpu.models.dimamba import DiMamba, DiMambaConfig
+        cfg = DiMambaConfig(
+            hidden_size=int(mc.hidden_size),
+            cond_dim=int(mc.cond_dim),
+            length=int(mc.length),
+            n_blocks=int(mc.n_blocks),
+            vocab_size=spec.vocab_size,
+            num_classes=num_classes,
+            bidirectional=bool(mc.get('bidirectional', True)),
+            bidirectional_strategy=mc.get('bidirectional_strategy',
+                                          'add'),
+            bidirectional_weight_tie=bool(
+                mc.get('bidirectional_weight_tie', True)),
+            tie_word_embeddings=bool(
+                mc.get('tie_word_embeddings', False)),
+            compute_dtype=(jnp.bfloat16
+                           if str(config.trainer.precision) == 'bf16'
+                           else jnp.float32))
+        model = DiMamba(cfg)
+        return model, cfg, make_model_apply(model)
+    if backbone == 'unet':
+        from ddg_tpu.models.unet import UNet, UNetConfig
+        cfg = UNetConfig(
+            ch=int(mc.ch),
+            num_res_blocks=int(mc.num_res_blocks),
+            num_scales=int(mc.num_scales),
+            ch_mult=tuple(mc.ch_mult),
+            input_channels=int(mc.input_channels),
+            scale_count_to_put_attn=int(mc.scale_count_to_put_attn),
+            dropout=float(mc.dropout),
+            skip_rescale=bool(mc.skip_rescale),
+            time_scale_factor=int(mc.time_scale_factor),
+            time_conditioning=bool(mc.get('time_conditioning', True)),
+            fix_logistic=bool(mc.get('fix_logistic', False)),
+            vocab_size=spec.vocab_size,
+            num_classes=num_classes)
+        model = UNet(cfg)
+        return model, cfg, make_model_apply(model)
+    raise NotImplementedError(f'Backbone {backbone} not implemented.')
+
+
+def build_classifier_model(config: Config, spec):
+    mc = config.classifier_model
+    num_classes = int(mc.num_classes)
+    backbone = config.get('classifier_backbone') or mc.get('type', 'ddit')
+    if backbone in ('dit', 'ddit'):
+        cfg = DITConfig(
+            hidden_size=int(mc.hidden_size),
+            cond_dim=int(mc.cond_dim),
+            length=int(mc.length),
+            n_blocks=int(mc.n_blocks),
+            n_heads=int(mc.n_heads),
+            dropout=float(mc.dropout),
+            vocab_size=spec.vocab_size,
+            causal=spec.parameterization == 'ar',
+            use_adaLN=spec.parameterization != 'ar',
+            compute_dtype=(jnp.bfloat16
+                           if str(config.trainer.precision) == 'bf16'
+                           else jnp.float32))
+        model = DITClassifier(cfg, num_classes=num_classes,
+                              pooling=mc.get('pooling', 'mean'))
+        return model, cfg, make_classifier_apply(model)
+    raise NotImplementedError(
+        f'Classifier backbone {backbone} not implemented.')
+
+
+def build_data(config: Config, *, synthetic: Optional[bool] = None):
+    """Dataset dispatch (reference dataloader.get_dataset,
+    dataloader.py:233-343). `synthetic` falls back to
+    config.data.synthetic (offline test data)."""
+    name = config.data.train
+    cache = os.path.expanduser(str(config.data.get(
+        'cache_dir', './data')))
+    if synthetic is None:
+        synthetic = bool(config.data.get('synthetic', False))
+    if name == 'text8':
+        msl = int(config.model.length)
+        splits = D.load_text8(cache, max_seq_length=msl,
+                              synthetic=synthetic)
+        return {'train': splits['train'], 'valid': splits['test']}
+    if name == 'qm9':
+        splits = D.load_qm9(cache, block_size=int(config.model.length),
+                            num_classes=int(config.data.num_classes),
+                            synthetic=synthetic,
+                            label_col=config.data.get('label_col',
+                                                      'qed'))
+        return {'train': splits['train'], 'valid': splits['test']}
+    if name == 'ten_species':
+        splits = D.load_ten_species(
+            cache, max_length=int(config.model.length),
+            synthetic=synthetic)
+        return {'train': splits['train'], 'valid': splits['test']}
+    if name == 'cifar10':
+        splits = D.load_cifar10(cache, synthetic=synthetic)
+        return {'train': splits['train'], 'valid': splits['test']}
+    raise NotImplementedError(
+        f'Dataset {name} requires HF assets not available offline; '
+        'supported offline: text8, qm9, ten_species, cifar10 '
+        '(synthetic or local files).')
+
+
+def build_mesh(config: Config):
+    n = jax.device_count()
+    fsdp = 1
+    if config.get('strategy') is not None \
+            and config.strategy.get('name') == 'fsdp':
+        fsdp = min(int(config.strategy.get('fsdp_devices', n)), n)
+    return mesh_lib.make_mesh(num_data=n // fsdp, num_fsdp=fsdp)
+
+
+def build_guidance_spec(config: Config) -> Optional[GuidanceSpec]:
+    g = config.get('guidance')
+    if g is None:
+        return None
+    return GuidanceSpec(
+        method=g.method,
+        gamma=float(g.get('gamma', 1.0)),
+        condition=int(g.get('condition', 0)),
+        use_approx=bool(g.get('use_approx', False)),
+        topk=int(g.get('topk', 50)),
+        num_nos_steps=int(g.get('num_nos_steps', 1)),
+        nos_step_size=float(g.get('nos_step_size', 0.1)),
+        nos_stability_coef=float(g.get('nos_stability_coef', 0.01)))
+
+
+def build_sampler_spec(config: Config) -> SamplerSpec:
+    return SamplerSpec(
+        steps=int(config.sampling.steps),
+        use_cache=bool(config.sampling.use_cache),
+        use_float64=bool(config.sampling.use_float64),
+        low_confidence_sampling=bool(
+            config.eval.low_confidence_sampling),
+        low_confidence_threshold=float(
+            config.eval.low_confidence_threshold),
+        argmax_sampling=bool(config.eval.argmax_sampling))
+
+
+def build_optim_spec(config: Config) -> OptimSpec:
+    sched = config.lr_scheduler.get('name', 'constant_warmup')
+    return OptimSpec(
+        lr=float(config.optim.lr),
+        beta1=float(config.optim.beta1),
+        beta2=float(config.optim.beta2),
+        eps=float(config.optim.eps),
+        weight_decay=float(config.optim.weight_decay),
+        grad_clip=float(config.trainer.gradient_clip_val),
+        scheduler=sched,
+        num_warmup_steps=int(config.lr_scheduler.get(
+            'num_warmup_steps', 2500)),
+        max_steps=int(config.trainer.max_steps))
+
+
+def build_averaging_spec(config: Config) -> AveragingSpec:
+    wa = config.weights_averaging
+    if wa.type == 'ema':
+        if float(wa.decay) > 0:
+            return AveragingSpec.ema(float(wa.decay))
+        return AveragingSpec(kind='none')
+    if wa.type == 'swa':
+        return AveragingSpec.swa(int(config.trainer.max_steps),
+                                 float(wa.start_pct),
+                                 int(wa.num_snapshots))
+    if wa.type == 'none':
+        return AveragingSpec(kind='none')
+    raise NotImplementedError(
+        f'Averaging type {wa.type} not implemented.')
+
+
+def _ar_shift(batch, bos_id, eos_id):
+    """AR input/target shift (reference `_maybe_sub_sample`,
+    diffusion.py:698-701) as a host-side transform."""
+    x = batch['input_ids']
+    return {'input_ids': x[:, :-1], 'output_ids': x[:, 1:],
+            'attention_mask': batch['attention_mask'][:, 1:],
+            **{k: v for k, v in batch.items()
+               if k not in ('input_ids', 'attention_mask')}}
+
+
+def _prep_batch(config, spec, batch, *, accum: int = 1):
+    """Host-side batch prep: label -> cond, AR shift, text8 crop,
+    accumulate reshape."""
+    out = {'input_ids': batch['input_ids'].astype(np.int32),
+           'attention_mask':
+               batch['attention_mask'].astype(np.float32)}
+    if _wants_cond(config):
+        label_col = config.data.get('label_col', 'label')
+        if label_col in batch:
+            out['cond'] = batch[label_col].astype(np.int32)
+        elif 'label' in batch:
+            out['cond'] = batch['label'].astype(np.int32)
+        else:
+            raise RuntimeError(
+                f'Conditioning {label_col} not found in batch.')
+    if spec.parameterization == 'ar':
+        out = _ar_shift(out, None, None)
+    if accum > 1:
+        out = {k: v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
+               for k, v in out.items()}
+    return out
+
+
+def _maybe_crop_text8(config, batch, tokenizer, rng):
+    """text8-crop: random 2L -> L crop with BOS/EOS patch (reference
+    diffusion.py:682-697)."""
+    x = batch['input_ids']
+    L = int(config.model.length)
+    if x.shape[1] <= L:
+        return batch
+    start = rng.randint(L)
+    inp = x[:, start:start + L].copy()
+    inp[:, 0] = tokenizer.bos_token_id
+    inp[:, -1] = tokenizer.eos_token_id
+    return {**batch, 'input_ids': inp,
+            'attention_mask': batch['attention_mask'][:, start:start + L]}
+
+
+# ---------------------------------------------------------------------------
+# Modes
+# ---------------------------------------------------------------------------
+
+def train(config: Config, *, max_steps_override: Optional[int] = None):
+    tokenizer = build_tokenizer(config)
+    spec = build_diffusion_spec(config, tokenizer)
+    model, model_cfg, apply_fn = build_model(config, spec)
+    data = build_data(config)
+    optim_spec = build_optim_spec(config)
+    avg_spec = build_averaging_spec(config)
+    mesh = build_mesh(config)
+
+    accum = int(config.trainer.accumulate_grad_batches)
+    batch_size = int(config.loader.batch_size)
+    loader = FaultTolerantLoader(data['train'], batch_size * accum,
+                                 seed=int(config.seed))
+    rng = jax.random.PRNGKey(int(config.seed))
+    init_rng, state_rng = jax.random.split(rng)
+
+    example = _prep_batch(config, spec,
+                          next(iter(loader)), accum=accum)
+    ex_ids = example['input_ids'].reshape(-1,
+                                          example['input_ids'].shape[-1])
+    sigma0 = None if spec.parameterization == 'ar' else jnp.ones((1,))
+    cond0 = (jnp.zeros((1,), jnp.int32)
+             if _wants_cond(config) else None)
+    params = model.init(init_rng, jnp.asarray(ex_ids[:1]), sigma0,
+                        cond0)['params']
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(params))
+    LOGGER.info(f'Model parameters: {n_params / 1e6:.2f}M')
+
+    state = init_train_state(state_rng, params, optim_spec, avg_spec)
+    train_step = make_train_step(spec, apply_fn, optim_spec, avg_spec,
+                                 accum_steps=accum)
+    jitted, place_state, place_batch = mesh_lib.shard_train_step(
+        mesh, train_step, state, example)
+    state = place_state(state)
+
+    save_dir = os.path.join(str(config.checkpointing.save_dir),
+                            'checkpoints')
+    cbs = config.get('callbacks') or Config({})
+    every_n = int(cbs.get('checkpoint_every_n_steps', Config({})).get(
+        'every_n_train_steps', 500) if cbs.get(
+        'checkpoint_every_n_steps') else 500)
+    ckpt = CheckpointManager(save_dir, every_n_steps=every_n)
+
+    # Resume (reference main.py:195-201 + fault-tolerant samplers).
+    if (bool(config.checkpointing.resume_from_ckpt)
+            and ckpt.exists('last')):
+        state, meta = ckpt.restore('last', state)
+        if meta.get('loader_state'):
+            loader.load_state_dict(meta['loader_state'])
+        LOGGER.info(f'Resumed from step {int(state.step)}')
+
+    metrics_log = MetricsLogger(os.path.join(
+        str(config.checkpointing.save_dir), 'metrics.jsonl'))
+    max_steps = max_steps_override or int(config.trainer.max_steps)
+    log_every = int(config.trainer.log_every_n_steps)
+    val_every = int(config.trainer.val_check_interval)
+    crop_rng = np.random.RandomState(int(config.seed))
+
+    eval_rng = jax.random.PRNGKey(int(config.seed) + 1)
+    it = iter(loader)
+    while int(state.step) < max_steps:
+        batch = next(it)
+        if config.data.train == 'text8':
+            batch = _maybe_crop_text8(config, batch, tokenizer, crop_rng)
+        batch = place_batch(_prep_batch(config, spec, batch,
+                                        accum=accum))
+        state, metrics = jitted(state, batch)
+        step = int(state.step)
+        if step % log_every == 0:
+            metrics_log.log(step, {'trainer/loss': metrics['loss'],
+                                   'lr': metrics['lr'],
+                                   'grad_norm': metrics['grad_norm']})
+            LOGGER.info(
+                f'step {step}: loss={float(metrics["loss"]):.4f}')
+        if step % val_every == 0 or step >= max_steps:
+            val = validate(config, spec, apply_fn, state, data['valid'],
+                           rng=eval_rng)
+            metrics_log.log(step, {'val/nll': val.nll,
+                                   'val/bpd': val.bpd,
+                                   'val/ppl': val.ppl})
+            LOGGER.info(f'step {step}: val/ppl={val.ppl:.3f}')
+            ckpt.maybe_save_best(val.nll, state,
+                                 loader_state=loader.state_dict())
+        ckpt.maybe_save_last(step, state,
+                             loader_state=loader.state_dict())
+    ckpt.save('last', state, loader_state=loader.state_dict())
+    metrics_log.close()
+    return state
+
+
+def validate(config, spec, apply_fn, state, valid_data, *, rng,
+             max_batches: Optional[int] = None):
+    eval_step = jax.jit(make_eval_step(
+        spec, apply_fn,
+        use_averaged=not bool(config.eval.disable_ema)))
+    loader = FaultTolerantLoader(
+        valid_data, int(config.loader.eval_batch_size), shuffle=False,
+        seed=int(config.seed))
+    limit = config.trainer.get('limit_val_batches', 1.0)
+    n = loader.epoch_batches()
+    if isinstance(limit, float) and limit < 1.0:
+        n = max(1, int(n * limit))
+    if max_batches is not None:
+        n = min(n, max_batches)
+
+    def gen():
+        for i, b in enumerate(iter(loader)):
+            if i >= n:
+                break
+            yield _prep_batch(config, spec, b)
+
+    return compute_ppl(eval_step, state, gen(), rng=rng)
+
+
+def train_classifier(config: Config):
+    """mode=train_classifier (reference main.py:214-239)."""
+    tokenizer = build_tokenizer(config)
+    dspec = build_diffusion_spec(config, tokenizer)
+    clf_spec = ClassifierSpec(
+        diffusion=config.diffusion,
+        parameterization=config.parameterization,
+        noise=dspec.noise,
+        vocab_size=dspec.vocab_size,
+        mask_index=dspec.mask_index,
+        num_classes=int(config.classifier_model.num_classes),
+        T=dspec.T,
+        time_conditioning=bool(config.time_conditioning),
+        sampling_eps=dspec.sampling_eps,
+        use_label_smoothing=bool(config.training.get(
+            'use_label_smoothing', False)),
+        is_fudge_classifier=bool(config.get('is_fudge_classifier',
+                                            False)))
+    model, model_cfg, apply_fn = build_classifier_model(config, dspec)
+    data = build_data(config)
+    optim_spec = build_optim_spec(config)
+    avg_spec = build_averaging_spec(config)
+
+    batch_size = int(config.loader.batch_size)
+    loader = FaultTolerantLoader(data['train'], batch_size,
+                                 seed=int(config.seed))
+    rng = jax.random.PRNGKey(int(config.seed))
+    ex = next(iter(loader))
+    sigma0 = None if clf_spec.parameterization == 'ar' else jnp.ones((1,))
+    params = model.init(rng, jnp.asarray(
+        ex['input_ids'][:1].astype(np.int32)), sigma0)['params']
+    state = init_train_state(rng, params, optim_spec, avg_spec)
+    step_fn = jax.jit(make_classifier_train_step(
+        clf_spec, apply_fn, optim_spec, avg_spec))
+
+    save_dir = os.path.join(str(config.checkpointing.save_dir),
+                            'classifier_checkpoints')
+    ckpt = CheckpointManager(save_dir)
+    metrics_log = MetricsLogger(os.path.join(
+        str(config.checkpointing.save_dir),
+        'classifier_metrics.jsonl'))
+    max_steps = int(config.trainer.max_steps)
+    label_col = config.data.get('label_col', 'label')
+    it = iter(loader)
+    while int(state.step) < max_steps:
+        raw = next(it)
+        batch = {'input_ids': raw['input_ids'].astype(np.int32),
+                 'attention_mask':
+                     raw['attention_mask'].astype(np.float32),
+                 'label': raw.get(label_col, raw.get('label')).astype(
+                     np.int32)}
+        state, metrics = step_fn(state, batch)
+        step = int(state.step)
+        if step % int(config.trainer.log_every_n_steps) == 0:
+            metrics_log.log(step, metrics)
+        ckpt.maybe_save_last(step, state)
+    ckpt.save('last', state)
+    metrics_log.close()
+    return state
+
+
+def sample(config: Config, spec, apply_fn, params, *, tokenizer,
+           rng=None, classifier_apply=None, classifier_params=None):
+    """Generate one batch of samples (reference Diffusion.sample,
+    diffusion.py:1040-1083). `params` should already be EMA params when
+    desired."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    guidance = build_guidance_spec(config)
+    sampler = build_sampler_spec(config)
+    batch_size = int(config.sampling.batch_size)
+    length = int(config.model.length)
+    cond = None
+    if guidance is not None and guidance.method == 'cfg':
+        cond = jnp.full((batch_size,), guidance.condition, jnp.int32)
+    if spec.parameterization == 'ar':
+        return ar_sample(spec, sampler, apply_fn, params, rng,
+                         batch_size=batch_size, length=length,
+                         bos_token_id=tokenizer.bos_token_id,
+                         guidance=guidance, cond=cond,
+                         classifier_apply=classifier_apply,
+                         classifier_params=classifier_params)
+    return diffusion_sample(spec, sampler, apply_fn, params, rng,
+                            batch_size=batch_size, length=length,
+                            guidance=guidance, cond=cond,
+                            classifier_apply=classifier_apply,
+                            classifier_params=classifier_params)
+
+
+def _restore_for_eval(config: Config):
+    tokenizer = build_tokenizer(config)
+    spec = build_diffusion_spec(config, tokenizer)
+    model, model_cfg, apply_fn = build_model(config, spec)
+    rng = jax.random.PRNGKey(int(config.seed))
+    length = int(config.model.length)
+    sigma0 = None if spec.parameterization == 'ar' else jnp.ones((1,))
+    cond0 = jnp.zeros((1,), jnp.int32) if _wants_cond(config) else None
+    x0 = jnp.zeros((1, length), jnp.int32)
+    params = model.init(rng, x0, sigma0, cond0)['params']
+    optim_spec = build_optim_spec(config)
+    avg_spec = build_averaging_spec(config)
+    state = init_train_state(rng, params, optim_spec, avg_spec)
+    path = str(config.eval.checkpoint_path or '')
+    if path:
+        name = os.path.basename(path.rstrip('/'))
+        ckpt = CheckpointManager(os.path.dirname(path.rstrip('/')))
+        state, _ = ckpt.restore(name, state)
+    return tokenizer, spec, apply_fn, state
+
+
+def ppl_eval(config: Config) -> float:
+    """mode=ppl_eval (reference main.py:308-319)."""
+    tokenizer, spec, apply_fn, state = _restore_for_eval(config)
+    data = build_data(config)
+    metric = validate(config, spec, apply_fn, state, data['valid'],
+                      rng=jax.random.PRNGKey(int(config.seed)))
+    LOGGER.info(f'val ppl: {metric.ppl:.4f}  bpd: {metric.bpd:.4f}')
+    return metric.ppl
+
+
+def gen_ppl_eval(config: Config) -> dict:
+    """mode=gen_ppl_eval (reference main.py:253-305): sample batches,
+    decode, judge-model gen-PPL + unigram entropy."""
+    tokenizer, spec, apply_fn, state = _restore_for_eval(config)
+    params = (averaged_params(state.averaging, state.params)
+              if not bool(config.eval.disable_ema) else state.params)
+    rng = jax.random.PRNGKey(int(config.seed))
+    all_samples, texts = [], []
+    for i in range(int(config.sampling.num_sample_batches)):
+        rng, srng = jax.random.split(rng)
+        out = sample(config, spec, apply_fn, params,
+                     tokenizer=tokenizer, rng=srng)
+        all_samples.append(np.asarray(out))
+        texts.extend(tokenizer.batch_decode(out))
+    entropy = unigram_entropy([s for b in all_samples for s in b])
+    result = {'unigram_entropy': entropy, 'samples': texts}
+    judge = config.eval.get('generative_ppl_model_name_or_path')
+    if judge:
+        from ddg_tpu.eval_utils import compute_generative_ppl
+        result['generative_ppl'] = compute_generative_ppl(
+            texts, judge_model_name=judge,
+            max_length=int(config.model.length))
+    out_path = config.eval.get('generated_samples_path') or ''
+    if out_path:
+        with open(out_path, 'w') as f:
+            json.dump(result, f)
+    return result
+
+
+def lengths_eval(config: Config) -> dict:
+    """mode=lengths_eval: PPL at several sequence lengths (fork
+    feature, reference main.py:321-325)."""
+    results = {}
+    for length in config.eval.get('lengths', [8, 16, 32, 64, 128]):
+        cfg = Config(config.to_dict())
+        cfg.model['length'] = int(length)
+        results[int(length)] = ppl_eval(cfg)
+    return results
+
+
+def lcsc_search(config: Config) -> dict:
+    """mode=lcsc (reference main.py:110-183 + lcsc.py)."""
+    from ddg_tpu.lcsc import combine_checkpoints_diff, run_lcsc
+    tokenizer, spec, apply_fn, state = _restore_for_eval(config)
+    data = build_data(config)
+    ckpt_dir = os.path.join(str(config.checkpointing.save_dir),
+                            'checkpoints')
+    mgr = CheckpointManager(ckpt_dir)
+    snaps = mgr.list_snapshots()
+    lc = config.get('lcsc') or Config({})
+    max_ckpts = int(lc.get('max_checkpoints', 20))
+    snaps = snaps[-max_ckpts:]
+    assert len(snaps) >= 3, (
+        f'LCSC requires >= 3 checkpoints, found {len(snaps)}')
+    trees = []
+    for s in snaps:
+        st, _ = mgr.restore(f'step-{s}', state)
+        trees.append(averaged_params(st.averaging, st.params))
+
+    def fitness(alphas):
+        merged = combine_checkpoints_diff(trees, alphas)
+        st = dataclasses.replace(state, params=merged, averaging=None)
+        metric = validate(config, spec, apply_fn, st, data['valid'],
+                          rng=jax.random.PRNGKey(int(config.seed)),
+                          max_batches=int(lc.get('fitness_batches', 4)))
+        return metric.ppl
+
+    best_alpha, best_score = run_lcsc(
+        num_checkpoints=len(trees), fitness=fitness,
+        population_size=int(lc.get('population_size', 8)),
+        top_k=int(lc.get('top_k', 0)),
+        iterations=int(lc.get('iterations', 10)),
+        mutation_sigma=float(lc.get('mutation_sigma', 0.05)),
+        offspring_per_iter=int(lc.get('offspring_per_iter', 8)),
+        seed=int(config.seed), log=LOGGER.info)
+    merged = combine_checkpoints_diff(trees, best_alpha)
+    final = dataclasses.replace(state, params=merged)
+    mgr.save('lcsc-merged', final,
+             extra={'alphas': best_alpha, 'score': best_score})
+    return {'alphas': best_alpha, 'score': best_score}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    config_dir = os.environ.get(
+        'DDG_CONFIG_DIR',
+        os.path.join(os.path.dirname(__file__), '..', 'configs'))
+    config = load_config(config_dir, overrides=argv)
+    mode = config.mode
+    LOGGER.info(f'mode={mode} data={config.data.train} '
+                f'backbone={config.backbone} '
+                f'parameterization={config.parameterization}')
+    if mode == 'train':
+        return train(config)
+    if mode == 'train_classifier':
+        return train_classifier(config)
+    if mode == 'ppl_eval':
+        return ppl_eval(config)
+    if mode == 'gen_ppl_eval':
+        return gen_ppl_eval(config)
+    if mode == 'lengths_eval':
+        return lengths_eval(config)
+    if mode == 'lcsc':
+        return lcsc_search(config)
+    raise NotImplementedError(f'mode {mode} not implemented.')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,255 @@
+"""UNet denoiser for discretized images (CIFAR10), flax.linen, NHWC.
+
+TPU-first re-design of the reference UNet
+(/root/reference/models/unet.py, a D3PM/Campbell-style image denoiser):
+  * NHWC layout throughout — the native TPU conv layout (the reference
+    is NCHW for cuDNN);
+  * token interface preserved: input is a flat (B, 3072) id sequence,
+    output is logits (B, 3072, V) from a truncated discretized-logistic
+    head (unet.py:428-476) with the tanh-residual mean
+    parameterization (unet.py:437-441);
+  * spatial attention at one scale (unet.py:88-119), ResBlocks with
+    GroupNorm + time-embedding injection (unet.py:122-182), skip
+    rescale 1/sqrt(2), nearest-neighbor upsample;
+  * the logistic head runs in fp32 (log-minus-exp stability).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddg_tpu.models.dit import timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    ch: int = 128
+    num_res_blocks: int = 2
+    num_scales: int = 4
+    ch_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    input_channels: int = 3
+    scale_count_to_put_attn: int = 1
+    dropout: float = 0.1
+    skip_rescale: bool = True
+    time_scale_factor: int = 1000
+    time_conditioning: bool = True
+    fix_logistic: bool = False
+    vocab_size: int = 256
+    image_size: int = 32
+    num_classes: Optional[int] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.ch
+
+
+def ddpm_conv_init(scale: float = 1.0):
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, 'fan_avg', 'uniform')
+
+
+class NiN(nn.Module):
+    features: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param('W', ddpm_conv_init(self.init_scale),
+                       (x.shape[-1], self.features))
+        b = self.param('b', nn.initializers.zeros, (self.features,))
+        return x @ w + b
+
+
+class AttnBlock(nn.Module):
+    """Spatial self-attention over H*W (reference unet.py:88-119)."""
+    skip_rescale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
+                         name='norm')(x)
+        q = NiN(C, name='q')(h)
+        k = NiN(C, name='k')(h)
+        v = NiN(C, name='v')(h)
+        q = q.reshape(B, H * W, C)
+        k = k.reshape(B, H * W, C)
+        v = v.reshape(B, H * W, C)
+        w = jnp.einsum('bic,bjc->bij', q, k) * (C ** -0.5)
+        w = jax.nn.softmax(w, axis=-1)
+        h = jnp.einsum('bij,bjc->bic', w, v).reshape(B, H, W, C)
+        h = NiN(C, init_scale=0.0, name='out')(h)
+        out = x + h
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+class ResBlock(nn.Module):
+    out_ch: int
+    dropout: float = 0.1
+    skip_rescale: bool = True
+
+    @nn.compact
+    def __call__(self, x, temb, *, train: bool):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                         name='norm0')(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, name='conv0')(h)
+        if temb is not None:
+            h = h + nn.Dense(self.out_ch, bias_init=nn.initializers.zeros,
+                             name='temb_proj')(
+                nn.silu(temb))[:, None, None, :]
+        h = nn.GroupNorm(num_groups=min(self.out_ch // 4, 32),
+                         epsilon=1e-6, name='norm1')(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, name='conv1')(h)
+        if self.out_ch != in_ch:
+            x = NiN(self.out_ch, name='shortcut')(x)
+        out = x + h
+        return out / np.sqrt(2.0) if self.skip_rescale else out
+
+
+class Downsample(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        # Asymmetric (0,1) padding + stride 2 (reference unet.py:184-196).
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
+                       padding='VALID', name='conv')(x)
+
+
+class Upsample(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = jax.image.resize(x, (B, 2 * H, 2 * W, C), method='nearest')
+        return nn.Conv(C, (3, 3), padding=1, name='conv')(h)
+
+
+def log_minus_exp(a, b, eps: float = 1e-6):
+    """log(exp(a) - exp(b)) for b < a (arXiv 2107.03006; reference
+    unet.py:437-443)."""
+    return a + jnp.log1p(-jnp.exp(b - a) + eps)
+
+
+def truncated_logistic_logits(mu, log_scale, *, vocab_size: int,
+                              fix_logistic: bool) -> jax.Array:
+    """Truncated discretized-logistic bin log-probs (reference
+    unet.py:445-476). mu/log_scale: (B, H, W, C); out (B, C*H*W, S)
+    ordered like the flat CHW token sequence."""
+    S = vocab_size
+    mu = mu[..., None].astype(jnp.float32)
+    inv_scale = jnp.exp(-(log_scale[..., None].astype(jnp.float32) - 2))
+    bin_width = 2.0 / S
+    bin_centers = jnp.linspace(-1 + bin_width / 2, 1 - bin_width / 2, S)
+    sig_in_left = (bin_centers - bin_width / 2 - mu) * inv_scale
+    bin_left_logcdf = jax.nn.log_sigmoid(sig_in_left)
+    sig_in_right = (bin_centers + bin_width / 2 - mu) * inv_scale
+    bin_right_logcdf = jax.nn.log_sigmoid(sig_in_right)
+    logits_1 = log_minus_exp(bin_right_logcdf, bin_left_logcdf)
+    logits_2 = log_minus_exp(-sig_in_left + bin_left_logcdf,
+                             -sig_in_right + bin_right_logcdf)
+    logits = jnp.minimum(logits_1, logits_2) if fix_logistic else logits_1
+    # (B, H, W, C, S) -> (B, C, H, W, S) -> (B, C*H*W, S) to match the
+    # flat CHW token layout of DiscreteCIFAR10.
+    B, H, W, C, _ = logits.shape
+    return jnp.transpose(logits, (0, 3, 1, 2, 4)).reshape(B, C * H * W, S)
+
+
+class UNet(nn.Module):
+    """Token-sequence interface: (B, 3072) ids -> (B, 3072, V) logits
+    (reference unet.py:479-515)."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, sigma, cond=None, x_emb=None, *,
+                 train: bool = False, return_hidden_states: bool = False):
+        cfg = self.cfg
+        img = cfg.image_size
+        C = cfg.input_channels
+        B = x.shape[0]
+        # flat CHW tokens -> NHWC image in [-1, 1]
+        h = x.reshape(B, C, img, img).transpose(0, 2, 3, 1)
+        h = h.astype(jnp.float32) / cfg.vocab_size  # [0, 1)
+        h = 2 * h - 1
+        centered_x_in = h
+
+        temb = None
+        if cfg.time_conditioning and sigma is not None:
+            temb = timestep_embedding(sigma * cfg.time_scale_factor,
+                                      cfg.time_embed_dim)
+            temb = nn.Dense(4 * cfg.time_embed_dim,
+                            bias_init=nn.initializers.zeros,
+                            name='temb0')(temb)
+            temb = nn.Dense(4 * cfg.time_embed_dim,
+                            bias_init=nn.initializers.zeros,
+                            name='temb1')(nn.silu(temb))
+        if cond is not None:
+            assert cfg.num_classes is not None, (
+                'Conditioning provided but num_classes is None')
+            ce = nn.Embed(cfg.num_classes + 1, 4 * cfg.time_embed_dim,
+                          name='cond_map')(cond)
+            temb = ce if temb is None else temb + ce
+
+        h = nn.Conv(cfg.ch, (3, 3), padding=1, name='conv_in')(h)
+        hs = [h]
+        # Downsampling
+        for scale in range(cfg.num_scales):
+            for res in range(cfg.num_res_blocks):
+                h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
+                             cfg.skip_rescale,
+                             name=f'down_{scale}_{res}')(h, temb,
+                                                         train=train)
+                if scale == cfg.scale_count_to_put_attn:
+                    h = AttnBlock(cfg.skip_rescale,
+                                  name=f'down_attn_{scale}_{res}')(h)
+                hs.append(h)
+            if scale != cfg.num_scales - 1:
+                h = Downsample(name=f'downsample_{scale}')(h)
+                hs.append(h)
+
+        # Middle
+        h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
+                     name='mid_res0')(h, temb, train=train)
+        h = AttnBlock(cfg.skip_rescale, name='mid_attn')(h)
+        h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
+                     name='mid_res1')(h, temb, train=train)
+
+        # Upsampling
+        for scale in reversed(range(cfg.num_scales)):
+            for res in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
+                             cfg.skip_rescale,
+                             name=f'up_{scale}_{res}')(h, temb,
+                                                       train=train)
+                if scale == cfg.scale_count_to_put_attn:
+                    h = AttnBlock(cfg.skip_rescale,
+                                  name=f'up_attn_{scale}_{res}')(h)
+            if scale != 0:
+                h = Upsample(name=f'upsample_{scale}')(h)
+        assert not hs
+
+        h = nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
+                         epsilon=1e-6, name='norm_out')(h)
+        h = nn.silu(h)
+        h = nn.Conv(2 * C, (3, 3), padding=1, name='conv_out')(h)
+
+        # tanh-residual mean parameterization (unet.py:428-435)
+        mu = jnp.tanh(centered_x_in + h[..., :C])
+        log_scale = h[..., C:]
+        logits = truncated_logistic_logits(
+            mu, log_scale, vocab_size=cfg.vocab_size,
+            fix_logistic=cfg.fix_logistic)
+        if return_hidden_states:
+            return logits, h
+        return logits

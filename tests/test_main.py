@@ -1,0 +1,165 @@
+"""End-to-end orchestration tests: tiny text8 MDLM train -> checkpoint
+-> resume -> ppl_eval -> sample; classifier training; LCSC merge —
+the minimum end-to-end slice of SURVEY §7 step 3, on CPU."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ddg_tpu import main as M
+from ddg_tpu.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), '..', 'configs')
+
+
+def _tiny_config(tmp_path, extra=()):
+    return load_config(CONFIG_DIR, overrides=[
+        'data=text8',
+        'parameterization=subs', 'diffusion=absorbing_state',
+        'model=tiny',
+        'model.hidden_size=32', 'model.cond_dim=16',
+        'model.n_blocks=2', 'model.n_heads=2', 'model.length=32',
+        'model.dropout=0.0',
+        'trainer.precision=fp32',
+        'trainer.max_steps=8', 'trainer.val_check_interval=8',
+        'trainer.log_every_n_steps=4',
+        'loader.global_batch_size=8', 'loader.batch_size=8',
+        'loader.eval_global_batch_size=8',
+        'trainer.devices=1',
+        'sampling.steps=6', 'sampling.num_sample_batches=1',
+        'eval.generate_samples=False',
+        'optim.lr=1e-3',
+        f'data.cache_dir={tmp_path}/data',
+        '+data.synthetic=true',
+        f'checkpointing.save_dir={tmp_path}/run',
+        'trainer.limit_val_batches=0.02',
+        *extra,
+    ])
+
+
+@pytest.fixture(scope='module')
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp('e2e')
+    config = _tiny_config(tmp_path)
+    state = M.train(config)
+    return tmp_path, config, state
+
+
+class TestTrainE2E:
+    def test_train_runs_and_checkpoints(self, trained):
+        tmp_path, config, state = trained
+        assert int(state.step) == 8
+        assert os.path.isdir(f'{tmp_path}/run/checkpoints/last')
+        assert os.path.exists(f'{tmp_path}/run/metrics.jsonl')
+        import json
+        lines = [json.loads(l) for l in
+                 open(f'{tmp_path}/run/metrics.jsonl')]
+        assert any('trainer/loss' in l for l in lines)
+        assert any('val/ppl' in l for l in lines)
+
+    def test_resume_from_checkpoint(self, trained):
+        tmp_path, config, _ = trained
+        # Raise max_steps: training resumes from step 8 and continues.
+        cfg = _tiny_config(tmp_path, extra=['trainer.max_steps=12'])
+        state = M.train(cfg)
+        assert int(state.step) == 12
+
+    def test_ppl_eval_mode(self, trained):
+        tmp_path, config, _ = trained
+        cfg = _tiny_config(tmp_path, extra=[
+            'mode=ppl_eval',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last'])
+        ppl = M.ppl_eval(cfg)
+        assert np.isfinite(ppl) and ppl > 1
+
+    def test_sampling_from_trained(self, trained):
+        tmp_path, config, state = trained
+        tokenizer = M.build_tokenizer(config)
+        spec = M.build_diffusion_spec(config, tokenizer)
+        _, _, apply_fn = M.build_model(config, spec)
+        out = M.sample(config, spec, apply_fn, state.params,
+                       tokenizer=tokenizer)
+        assert out.shape == (8, 32)
+        texts = tokenizer.batch_decode(np.asarray(out))
+        assert len(texts) == 8
+        # decoded text8 chars only
+        assert all(set(t) <= set('abcdefghijklmnopqrstuvwxyz ')
+                   for t in texts)
+
+
+class TestSpecBuilders:
+    def test_vocab_mask_added_for_text8(self, tmp_path):
+        config = _tiny_config(tmp_path)
+        tokenizer = M.build_tokenizer(config)
+        spec = M.build_diffusion_spec(config, tokenizer)
+        # text8 tokenizer HAS a mask token at id 4 -> reused, not added.
+        assert spec.mask_index == 4
+        assert spec.vocab_size == 35
+
+    def test_vocab_mask_added_for_qm9(self, tmp_path):
+        config = load_config(CONFIG_DIR, overrides=[
+            'data=qm9', 'diffusion=uniform', 'parameterization=d3pm',
+            'time_conditioning=True', 'zero_recon_loss=True'])
+        tokenizer = M.build_tokenizer(config)
+        spec = M.build_diffusion_spec(config, tokenizer)
+        assert spec.mask_index == 2  # <mask> at 2
+        assert spec.vocab_size == 35
+        assert spec.num_classes == 2
+
+    def test_udlm_spec(self, tmp_path):
+        config = _tiny_config(tmp_path, extra=[
+            'diffusion=uniform', 'parameterization=d3pm',
+            'time_conditioning=True', 'zero_recon_loss=True'])
+        tokenizer = M.build_tokenizer(config)
+        spec = M.build_diffusion_spec(config, tokenizer)
+        assert spec.zero_recon_loss and spec.time_conditioning
+
+
+class TestClassifierE2E:
+    def test_train_classifier_qm9_synthetic(self, tmp_path):
+        config = load_config(CONFIG_DIR, overrides=[
+            'mode=train_classifier', 'data=qm9',
+            'classifier_model=tiny-classifier',
+            'classifier_model.hidden_size=32',
+            'classifier_model.cond_dim=16',
+            'classifier_model.n_blocks=2',
+            'classifier_model.n_heads=2',
+            'classifier_model.dropout=0.0',
+            'diffusion=uniform', 'parameterization=d3pm',
+            'time_conditioning=True',
+            'model.length=16', 'classifier_model.length=16',
+            'trainer.precision=fp32',
+            'trainer.max_steps=4', 'trainer.log_every_n_steps=2',
+            'loader.global_batch_size=8', 'loader.batch_size=8',
+            'trainer.devices=1',
+            f'data.cache_dir={tmp_path}/data', '+data.synthetic=true',
+            f'checkpointing.save_dir={tmp_path}/clf',
+        ])
+        state = M.train_classifier(config)
+        assert int(state.step) == 4
+        assert os.path.isdir(f'{tmp_path}/clf/classifier_checkpoints/last')
+
+
+class TestLCSC:
+    def test_combine_and_search(self):
+        from ddg_tpu.lcsc import combine_checkpoints_diff, run_lcsc
+        import jax.numpy as jnp
+        trees = [{'w': jnp.full((3,), float(i))} for i in range(4)]
+        merged = combine_checkpoints_diff(trees, [1.0, 0.0, 0.0])
+        np.testing.assert_allclose(np.asarray(merged['w']), 1.0)
+        merged = combine_checkpoints_diff(trees, [0.5, 0.25, 0.25])
+        # 0 + .5*1 + .25*2 + .25*3 = 1.75
+        np.testing.assert_allclose(np.asarray(merged['w']), 1.75)
+
+        # Search recovers weights minimizing distance to target 2.0.
+        def fitness(alphas):
+            m = combine_checkpoints_diff(trees, alphas)
+            return float(abs(float(m['w'][0]) - 2.0))
+
+        best, score = run_lcsc(num_checkpoints=4, fitness=fitness,
+                               population_size=6, iterations=5,
+                               offspring_per_iter=6, seed=0,
+                               log=lambda *_: None)
+        assert score < 0.2

@@ -1,0 +1,85 @@
+"""UNet tests: shapes, logistic head properties, diffusion-loss
+integration (tiny 8x8 images)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddg_tpu.models.unet import (UNet, UNetConfig,
+                                 truncated_logistic_logits)
+
+KEY = jax.random.PRNGKey(0)
+CFG = UNetConfig(ch=16, num_res_blocks=1, num_scales=2, ch_mult=(1, 2),
+                 scale_count_to_put_attn=1, dropout=0.0,
+                 vocab_size=10, image_size=8, num_classes=None)
+L = 3 * 8 * 8  # flat token length
+
+
+def _init(cfg=CFG, cond=None):
+    model = UNet(cfg)
+    x = jax.random.randint(KEY, (2, L), 0, cfg.vocab_size)
+    sigma = jnp.full((2,), 0.5)
+    params = model.init(KEY, x, sigma, cond)['params']
+    return model, params, x, sigma
+
+
+def test_forward_shapes():
+    model, params, x, sigma = _init()
+    logits = model.apply({'params': params}, x, sigma)
+    assert logits.shape == (2, L, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_logistic_head_is_normalized_enough():
+    """Bin log-probs should cover most mass (truncated logistic over
+    the value range, reference unet.py:445-476)."""
+    mu = jnp.zeros((1, 2, 2, 3))
+    log_scale = jnp.zeros((1, 2, 2, 3))
+    logits = truncated_logistic_logits(mu, log_scale, vocab_size=16,
+                                       fix_logistic=False)
+    mass = np.asarray(jnp.exp(logits).sum(-1))
+    assert (mass > 0.8).all() and (mass <= 1.0 + 1e-4).all()
+
+
+def test_logistic_head_peaks_at_mu():
+    # mu near +1 -> highest bin most likely
+    mu = jnp.full((1, 1, 1, 1), 0.95)
+    log_scale = jnp.full((1, 1, 1, 1), -3.0)
+    logits = truncated_logistic_logits(mu, log_scale, vocab_size=10,
+                                       fix_logistic=False)
+    assert int(np.asarray(logits)[0, 0].argmax()) >= 8
+
+
+def test_class_conditioning_changes_output():
+    cfg = dataclasses.replace(CFG, num_classes=10)
+    model, params, x, sigma = _init(cfg, cond=jnp.zeros((2,), jnp.int32))
+    out0 = model.apply({'params': params}, x, sigma,
+                       jnp.zeros((2,), jnp.int32))
+    out1 = model.apply({'params': params}, x, sigma,
+                       jnp.full((2,), 3, jnp.int32))
+    assert float(jnp.abs(out0 - out1).max()) > 1e-6
+
+
+def test_trains_with_uniform_diffusion_loss():
+    from ddg_tpu.diffusion import DiffusionSpec, loss_fn
+    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    model, params, x, sigma = _init()
+    spec = DiffusionSpec(
+        diffusion='uniform', parameterization='d3pm',
+        noise=LogLinearNoise(), vocab_size=10, mask_index=-1,
+        time_conditioning=True, zero_recon_loss=True)
+    apply_fn = make_model_apply(model)
+    mask = jnp.ones(x.shape, jnp.float32)
+
+    def f(p):
+        return loss_fn(spec, apply_fn, p, x, mask, None, KEY,
+                       train=True).loss
+
+    loss, grads = jax.value_and_grad(f)(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                            grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
