@@ -1,0 +1,148 @@
+"""Checkpoint conversion: reference torch checkpoints -> ddg_tpu params.
+
+Enables 1e-3 logit-parity checks against pretrained reference weights
+(kuleshov-group/udlm-lm1b etc., reference README.md:231-236) and lets
+users of the reference migrate trained models.
+
+Supported sources:
+  * Lightning .ckpt files (state under 'state_dict' with 'backbone.'
+    prefixes, plus 'ema' shadow params — reference diffusion.py:208-213);
+  * plain torch state dicts / HF safetensors of the reference DIT.
+
+Name mapping (reference models/dit.py -> ddg_tpu/models/dit.py):
+  vocab_embed.embedding                  -> vocab_embed
+  sigma_map.mlp.{0,2}                    -> sigma_map/mlp{1,2}
+  cond_map.embedding_table               -> cond_map/embedding
+  blocks.N.{norm1,norm2}.weight          -> block_N/{norm1,norm2}/weight
+  blocks.N.attn_qkv                      -> block_N/attn_qkv
+  blocks.N.attn_out                      -> block_N/attn_out
+  blocks.N.mlp.{0,2}                     -> block_N/{mlp_in,mlp_out}
+  blocks.N.adaLN_modulation              -> block_N/adaLN_modulation
+  output_layer.norm_final.weight         -> norm_final/weight
+  output_layer.linear                    -> output_linear
+  output_layer.adaLN_modulation          -> final_adaLN
+Torch Linear weights are (out, in) -> flax Dense kernels (in, out): transposed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str, *, use_ema: bool = False) -> Dict:
+    """Load a reference checkpoint into a flat {name: np.ndarray}."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    if use_ema and isinstance(ckpt, dict) and 'ema' in ckpt:
+        # EMA shadow params are stored as an ordered list aligned with
+        # backbone.parameters() + noise.parameters()
+        # (reference models/ema.py:96-101); map them onto the
+        # state-dict param names in order.
+        state = ckpt['state_dict']
+        shadow = ckpt['ema']['shadow_params']
+        param_names = [k for k in state
+                       if k.startswith('backbone.')]
+        assert len(shadow) >= len(param_names) - 1
+        out = {}
+        for name, val in zip(param_names, shadow):
+            out[name] = val.float().numpy()
+        return out
+    state = ckpt.get('state_dict', ckpt)
+    return {k: v.float().numpy() for k, v in state.items()
+            if hasattr(v, 'numpy')}
+
+
+def _strip_prefix(state: Dict) -> Dict:
+    out = {}
+    for k, v in state.items():
+        k = re.sub(r'^(model\.|backbone\.)', '', k)
+        out[k] = v
+    return out
+
+
+def convert_dit_params(state: Dict, *, n_blocks: int) -> Dict:
+    """Reference DIT state dict -> ddg_tpu DIT params pytree."""
+    s = _strip_prefix(state)
+
+    def T(x):
+        return np.ascontiguousarray(x.T)
+
+    params: Dict = {}
+    params['vocab_embed'] = s['vocab_embed.embedding']
+    if 'sigma_map.mlp.0.weight' in s:
+        params['sigma_map'] = {
+            'mlp1': {'kernel': T(s['sigma_map.mlp.0.weight']),
+                     'bias': s['sigma_map.mlp.0.bias']},
+            'mlp2': {'kernel': T(s['sigma_map.mlp.2.weight']),
+                     'bias': s['sigma_map.mlp.2.bias']},
+        }
+    if 'cond_map.embedding_table.weight' in s:
+        params['cond_map'] = {
+            'embedding': s['cond_map.embedding_table.weight']}
+
+    for i in range(n_blocks):
+        p = f'blocks.{i}.'
+        block = {
+            'norm1': {'weight': s[p + 'norm1.weight']},
+            'norm2': {'weight': s[p + 'norm2.weight']},
+            'attn_qkv': {'kernel': T(s[p + 'attn_qkv.weight'])},
+            'attn_out': {'kernel': T(s[p + 'attn_out.weight'])},
+            'mlp_in': {'kernel': T(s[p + 'mlp.0.weight']),
+                       'bias': s[p + 'mlp.0.bias']},
+            'mlp_out': {'kernel': T(s[p + 'mlp.2.weight']),
+                        'bias': s[p + 'mlp.2.bias']},
+        }
+        if p + 'adaLN_modulation.weight' in s:
+            block['adaLN_modulation'] = {
+                'kernel': T(s[p + 'adaLN_modulation.weight']),
+                'bias': s[p + 'adaLN_modulation.bias']}
+        params[f'block_{i}'] = block
+
+    params['norm_final'] = {
+        'weight': s['output_layer.norm_final.weight']}
+    params['output_linear'] = {
+        'kernel': T(s['output_layer.linear.weight']),
+        'bias': s['output_layer.linear.bias']}
+    if 'output_layer.adaLN_modulation.weight' in s:
+        params['final_adaLN'] = {
+            'kernel': T(s['output_layer.adaLN_modulation.weight']),
+            'bias': s['output_layer.adaLN_modulation.bias']}
+    return params
+
+
+def make_reference_dit_state_dict(rng: np.random.RandomState, *,
+                                  hidden: int, cond_dim: int,
+                                  n_blocks: int, vocab: int,
+                                  with_cond: bool = False) -> Dict:
+    """Synthetic state dict with the reference's names/shapes — used to
+    test the converter offline (no reference weights downloadable)."""
+    s = {}
+    r = lambda *shape: rng.randn(*shape).astype(np.float32) * 0.02
+    s['vocab_embed.embedding'] = r(vocab, hidden)
+    s['sigma_map.mlp.0.weight'] = r(cond_dim, 256)
+    s['sigma_map.mlp.0.bias'] = r(cond_dim)
+    s['sigma_map.mlp.2.weight'] = r(cond_dim, cond_dim)
+    s['sigma_map.mlp.2.bias'] = r(cond_dim)
+    if with_cond:
+        s['cond_map.embedding_table.weight'] = r(3, cond_dim)
+    for i in range(n_blocks):
+        p = f'blocks.{i}.'
+        s[p + 'norm1.weight'] = r(hidden) + 1
+        s[p + 'norm2.weight'] = r(hidden) + 1
+        s[p + 'attn_qkv.weight'] = r(3 * hidden, hidden)
+        s[p + 'attn_out.weight'] = r(hidden, hidden)
+        s[p + 'mlp.0.weight'] = r(4 * hidden, hidden)
+        s[p + 'mlp.0.bias'] = r(4 * hidden)
+        s[p + 'mlp.2.weight'] = r(hidden, 4 * hidden)
+        s[p + 'mlp.2.bias'] = r(hidden)
+        s[p + 'adaLN_modulation.weight'] = r(6 * hidden, cond_dim)
+        s[p + 'adaLN_modulation.bias'] = r(6 * hidden)
+    s['output_layer.norm_final.weight'] = r(hidden) + 1
+    s['output_layer.linear.weight'] = r(vocab, hidden)
+    s['output_layer.linear.bias'] = r(vocab)
+    s['output_layer.adaLN_modulation.weight'] = r(2 * hidden, cond_dim)
+    s['output_layer.adaLN_modulation.bias'] = r(2 * hidden)
+    return s

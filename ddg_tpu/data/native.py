@@ -1,0 +1,192 @@
+"""ctypes binding for the native tokenization library
+(native/fast_tokenize.cpp), with automatic build and pure-Python
+fallback.
+
+Usage:
+    tok = NativeTrieTokenizer(QM9_TOKENS, unk_id=4)
+    ids, mask = tok.tokenize_batch(smiles_list, block_size=32,
+                                   bos_id=0, eos_id=1, pad_id=3)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), '..', '..',
+                         'native', 'libfast_tokenize.so')
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    path = os.path.abspath(_LIB_PATH)
+    if not os.path.exists(path):
+        build = os.path.join(os.path.dirname(path), 'build.sh')
+        try:
+            subprocess.run(['bash', build], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.ddg_trie_new.restype = ctypes.c_void_p
+    lib.ddg_trie_new.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int32),
+                                 ctypes.c_int32]
+    lib.ddg_trie_free.argtypes = [ctypes.c_void_p]
+    lib.ddg_trie_tokenize.restype = ctypes.c_int32
+    lib.ddg_trie_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.ddg_trie_tokenize_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+    lib.ddg_smiles_tokenize.restype = ctypes.c_int32
+    lib.ddg_smiles_tokenize.argtypes = lib.ddg_trie_tokenize.argtypes
+    lib.ddg_smiles_tokenize_batch.argtypes = \
+        lib.ddg_trie_tokenize_batch.argtypes
+    return lib
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def get_library() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB = _load_library()
+        _LIB_TRIED = True
+    return _LIB
+
+
+class NativeTrieTokenizer:
+    """Greedy longest-match tokenizer over a fixed inventory.
+
+    For SMILES inventories (bracket atoms, Br/Cl) greedy longest match
+    agrees with the reference's regex tokenization; falls back to a
+    Python trie when the native library is unavailable.
+    """
+
+    def __init__(self, tokens: Sequence[str], unk_id: int,
+                 id_offset: int = 0, mode: str = 'greedy'):
+        # mode='smiles' uses the exact SMILES regex lexer (reference
+        # tokenizer.py:106-111 parity: Cl/Br units, bracket atoms, and
+        # silent dropping of unmatched characters).
+        self.tokens = list(tokens)
+        self.unk_id = unk_id
+        self.id_offset = id_offset
+        self.mode = mode
+        self._lib = get_library()
+        if self._lib is not None:
+            blob = b''.join(t.encode() for t in tokens)
+            lengths = np.asarray([len(t.encode()) for t in tokens],
+                                 np.int32)
+            self._handle = self._lib.ddg_trie_new(
+                blob, lengths.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)), len(tokens))
+        else:
+            self._py_trie = {}
+            for i, t in enumerate(tokens):
+                node = self._py_trie
+                for ch in t:
+                    node = node.setdefault(ch, {})
+                node['__id__'] = i
+
+    @property
+    def native(self) -> bool:
+        return self._lib is not None
+
+    def __del__(self):
+        if getattr(self, '_lib', None) is not None \
+                and getattr(self, '_handle', None):
+            try:
+                self._lib.ddg_trie_free(self._handle)
+            except Exception:
+                pass
+
+    def tokenize(self, text: str) -> List[int]:
+        if self._lib is not None:
+            data = text.encode()
+            out = np.empty(len(data) + 1, np.int32)
+            fn = (self._lib.ddg_smiles_tokenize
+                  if self.mode == 'smiles'
+                  else self._lib.ddg_trie_tokenize)
+            n = fn(
+                self._handle, data, len(data),
+                self.unk_id - self.id_offset,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(out))
+            return [int(i) + self.id_offset for i in out[:n]]
+        # Python fallback
+        if self.mode == 'smiles':
+            import re
+            from ddg_tpu.data.tokenizers import SMILES_PATTERN
+            vocab = {t: i for i, t in enumerate(self.tokens)}
+            return [vocab.get(t, self.unk_id - self.id_offset)
+                    + self.id_offset
+                    for t in re.findall(SMILES_PATTERN, text)]
+        ids, i = [], 0
+        while i < len(text):
+            node, best, blen = self._py_trie, None, 0
+            for j in range(i, len(text)):
+                node = node.get(text[j])
+                if node is None:
+                    break
+                if '__id__' in node:
+                    best, blen = node['__id__'], j - i + 1
+            if best is not None:
+                ids.append(best + self.id_offset)
+                i += blen
+            else:
+                ids.append(self.unk_id)
+                i += 1
+        return ids
+
+    def tokenize_batch(self, texts: Sequence[str], *, block_size: int,
+                       bos_id: int = -1, eos_id: int = -1,
+                       pad_id: int = 0
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(texts)
+        if self._lib is not None:
+            data = b''.join(t.encode() for t in texts)
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum([len(t.encode()) for t in texts],
+                      out=offsets[1:])
+            ids = np.empty((n, block_size), np.int32)
+            mask = np.empty((n, block_size), np.float32)
+            off = self.id_offset
+            disabled = -1000000
+            batch_fn = (self._lib.ddg_smiles_tokenize_batch
+                        if self.mode == 'smiles'
+                        else self._lib.ddg_trie_tokenize_batch)
+            batch_fn(
+                self._handle, data,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, self.unk_id - off,
+                bos_id - off if bos_id >= 0 else disabled,
+                eos_id - off if eos_id >= 0 else disabled,
+                pad_id - off, block_size,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            ids = ids + off
+            return ids, mask
+        ids = np.full((n, block_size), pad_id, np.int32)
+        mask = np.zeros((n, block_size), np.float32)
+        for r, t in enumerate(texts):
+            row = self.tokenize(t)
+            if bos_id >= 0:
+                row = [bos_id] + row
+            row = row[:block_size]
+            if eos_id >= 0 and len(row) < block_size:
+                row.append(eos_id)
+            ids[r, :len(row)] = row
+            mask[r, :len(row)] = 1.0
+        return ids, mask

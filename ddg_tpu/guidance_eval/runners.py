@@ -1,0 +1,182 @@
+"""Guidance evaluation runners: sample -> domain metrics -> CSV/JSON.
+
+Parity with the reference's standalone eval scripts:
+  * QM9 (guidance_eval/qm9_eval.py): per-gamma sampling sweep, RDKit
+    validity/uniqueness/novelty, QED/ring stats on the novel subset;
+  * Amazon-Polarity (guidance_eval/amazon_polarity_eval.py): n-gram
+    diversity + sentiment-classifier accuracy + gen-PPL;
+  * Species10 (guidance_eval/ten_species_eval.py): per-class sampling,
+    eval-classifier accuracy/F1/MCC, 3/6-mer JS divergence,
+    discriminator AUROC.
+
+Deterministic: seeded PRNG keys throughout (the reference additionally
+pins torch deterministic algorithms, qm9_eval.py:82-85 — JAX sampling
+is deterministic given the key by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddg_tpu.guidance_eval import metrics as gm
+from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, diffusion_sample
+
+
+def qm9_guidance_eval(spec, sampler: SamplerSpec, model_apply, params,
+                      tokenizer, *, gammas: Sequence[float] = (1, 2, 3, 4, 5),
+                      guidance_method: str = 'cfg', condition: int = 1,
+                      num_sample_batches: int = 64, batch_size: int = 16,
+                      length: int = 32, seed: int = 0,
+                      train_smiles: Optional[Sequence[str]] = None,
+                      classifier_apply=None, classifier_params=None,
+                      output_path: Optional[str] = None) -> List[Dict]:
+    """Gamma sweep -> molecule metrics (reference qm9_eval.py:88-204:
+    64 batches x 16 samples, T=32, gamma 1..5)."""
+    results = []
+    for gamma in gammas:
+        guidance = GuidanceSpec(method=guidance_method, gamma=float(gamma),
+                                condition=condition)
+        cond = (jnp.full((batch_size,), condition, jnp.int32)
+                if guidance_method == 'cfg' else None)
+        texts = []
+        key = jax.random.PRNGKey(seed)
+        for b in range(num_sample_batches):
+            key, k = jax.random.split(key)
+            out = diffusion_sample(
+                spec, sampler, model_apply, params, k,
+                batch_size=batch_size, length=length, guidance=guidance,
+                cond=cond, classifier_apply=classifier_apply,
+                classifier_params=classifier_params)
+            texts.extend(tokenizer.batch_decode(np.asarray(out)))
+        res = {'gamma': float(gamma),
+               **gm.molecule_metrics(texts, train_set=train_smiles)}
+        if gm.rdkit_available() and res.get('novel'):
+            res.update(gm.qed_stats(res['novel']))
+        res.pop('novel', None)
+        res['samples_preview'] = texts[:8]
+        results.append(res)
+    if output_path:
+        _write_results(output_path, results)
+    return results
+
+
+def amazon_polarity_eval(spec, sampler: SamplerSpec, model_apply, params,
+                         tokenizer, *, gammas: Sequence[float] = (1, 2, 3),
+                         condition: int = 1, num_sample_batches: int = 4,
+                         batch_size: int = 16, length: int = 128,
+                         seed: int = 0,
+                         sentiment_classifier: Optional[Callable] = None,
+                         judge_model_name: Optional[str] = None,
+                         output_path: Optional[str] = None) -> List[Dict]:
+    """CFG sweep -> diversity + sentiment accuracy (+ gen-PPL when a
+    judge is available) (reference amazon_polarity_eval.py:66-215)."""
+    results = []
+    for gamma in gammas:
+        guidance = GuidanceSpec(method='cfg', gamma=float(gamma),
+                                condition=condition)
+        cond = jnp.full((batch_size,), condition, jnp.int32)
+        texts = []
+        key = jax.random.PRNGKey(seed)
+        for b in range(num_sample_batches):
+            key, k = jax.random.split(key)
+            out = diffusion_sample(spec, sampler, model_apply, params, k,
+                                   batch_size=batch_size, length=length,
+                                   guidance=guidance, cond=cond)
+            texts.extend(tokenizer.batch_decode(np.asarray(out)))
+        res = {'gamma': float(gamma), **gm.ngram_diversity(texts)}
+        if sentiment_classifier is not None:
+            preds = sentiment_classifier(texts)
+            res['sentiment_accuracy'] = float(
+                (np.asarray(preds) == condition).mean())
+        if judge_model_name:
+            from ddg_tpu.eval_utils import compute_generative_ppl
+            res['generative_ppl'] = compute_generative_ppl(
+                texts, judge_model_name=judge_model_name,
+                max_length=length)
+        res['samples_preview'] = texts[:4]
+        results.append(res)
+    if output_path:
+        _write_results(output_path, results)
+    return results
+
+
+def ten_species_eval(spec, sampler: SamplerSpec, model_apply, params,
+                     tokenizer, *, num_classes: int = 10,
+                     guidance_method: str = 'cfg', gamma: float = 1.0,
+                     samples_per_class: int = 16, batch_size: int = 8,
+                     length: int = 32768, seed: int = 0,
+                     eval_classifier: Optional[Callable] = None,
+                     reference_sequences: Optional[List[str]] = None,
+                     discriminator_scores: Optional[Callable] = None,
+                     classifier_apply=None, classifier_params=None,
+                     output_path: Optional[str] = None) -> Dict:
+    """Per-class sampling -> classifier metrics + k-mer JS + AUROC
+    (reference ten_species_eval.py:298-523).
+
+    eval_classifier(texts) -> predicted class labels (the reference
+    uses a pretrained HyenaDNA classifier; any callable works).
+    discriminator_scores(real_texts, fake_texts) -> (scores_real,
+    scores_fake), e.g. from a freshly trained discriminator.
+    """
+    all_texts, y_true = [], []
+    key = jax.random.PRNGKey(seed)
+    for c in range(num_classes):
+        guidance = GuidanceSpec(method=guidance_method, gamma=gamma,
+                                condition=c)
+        cond = (jnp.full((batch_size,), c, jnp.int32)
+                if guidance_method == 'cfg' else None)
+        need = samples_per_class
+        while need > 0:
+            key, k = jax.random.split(key)
+            out = diffusion_sample(
+                spec, sampler, model_apply, params, k,
+                batch_size=batch_size, length=length, guidance=guidance,
+                cond=cond, classifier_apply=classifier_apply,
+                classifier_params=classifier_params)
+            texts = tokenizer.batch_decode(np.asarray(out))
+            take = texts[:need]
+            all_texts.extend(take)
+            y_true.extend([c] * len(take))
+            need -= len(take)
+
+    result: Dict = {'num_samples': len(all_texts)}
+    if eval_classifier is not None:
+        y_pred = eval_classifier(all_texts)
+        result.update(gm.classification_metrics(
+            y_true, y_pred, num_classes))
+    if reference_sequences is not None:
+        for k_size in (3, 6):
+            result[f'js_{k_size}mer'] = gm.kmer_js_divergence(
+                all_texts, reference_sequences, k_size)
+    if discriminator_scores is not None:
+        real_s, fake_s = discriminator_scores(
+            reference_sequences or [], all_texts)
+        result['discriminator_auroc'] = gm.discriminator_auroc(
+            real_s, fake_s)
+    if output_path:
+        _write_results(output_path, [result])
+    return result
+
+
+def _write_results(path: str, results: List[Dict]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if path.endswith('.json'):
+        with open(path, 'w') as f:
+            json.dump(results, f, indent=2)
+        return
+    # CSV (the reference writes CSV, qm9_eval.py:194-204)
+    import csv
+    keys = sorted({k for r in results for k in r
+                   if not isinstance(r[k], (list, dict))})
+    with open(path, 'w', newline='') as f:
+        w = csv.DictWriter(f, fieldnames=keys, extrasaction='ignore')
+        w.writeheader()
+        for r in results:
+            w.writerow({k: r.get(k) for k in keys})

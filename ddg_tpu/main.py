@@ -431,23 +431,53 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
     log_every = int(config.trainer.log_every_n_steps)
     val_every = int(config.trainer.val_check_interval)
     crop_rng = np.random.RandomState(int(config.seed))
+    flex = bool(config.training.get('flexible_length', False))
+    flex_frac = float(config.training.get('change_length_batches_frac',
+                                          0.01))
 
+    # Profiling hook (SURVEY §5: the reference has none; we expose
+    # jax.profiler traces via DDG_PROFILE_DIR for perf work).
+    profile_dir = os.environ.get('DDG_PROFILE_DIR')
+    profile_at = int(os.environ.get('DDG_PROFILE_STEP', 10))
+    profile_n = int(os.environ.get('DDG_PROFILE_STEPS', 5))
+    profiling = False
+
+    import time as _time
     eval_rng = jax.random.PRNGKey(int(config.seed) + 1)
     it = iter(loader)
+    tokens_since_log, t_last = 0, _time.perf_counter()
     while int(state.step) < max_steps:
         batch = next(it)
         if config.data.train == 'text8':
             batch = _maybe_crop_text8(config, batch, tokenizer, crop_rng)
-        batch = place_batch(_prep_batch(config, spec, batch,
-                                        accum=accum))
+        if flex and crop_rng.rand() < flex_frac:
+            batch = _flexible_truncate(config, batch, tokenizer,
+                                       crop_rng)
+        prepped = _prep_batch(config, spec, batch, accum=accum)
+        tokens_since_log += int(prepped['attention_mask'].size)
+        batch = place_batch(prepped)
+        if profile_dir and not profiling \
+                and int(state.step) == profile_at:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         state, metrics = jitted(state, batch)
         step = int(state.step)
+        if profiling and step >= profile_at + profile_n:
+            jax.tree.map(
+                lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+            profiling = False
         if step % log_every == 0:
+            now = _time.perf_counter()
+            tok_s = tokens_since_log / max(now - t_last, 1e-9)
+            tokens_since_log, t_last = 0, now
             metrics_log.log(step, {'trainer/loss': metrics['loss'],
                                    'lr': metrics['lr'],
-                                   'grad_norm': metrics['grad_norm']})
+                                   'grad_norm': metrics['grad_norm'],
+                                   'tokens_per_sec': tok_s})
             LOGGER.info(
-                f'step {step}: loss={float(metrics["loss"]):.4f}')
+                f'step {step}: loss={float(metrics["loss"]):.4f} '
+                f'({tok_s / 1e3:.1f}K tok/s)')
         if step % val_every == 0 or step >= max_steps:
             val = validate(config, spec, apply_fn, state, data['valid'],
                            rng=eval_rng)
@@ -457,11 +487,66 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
             LOGGER.info(f'step {step}: val/ppl={val.ppl:.3f}')
             ckpt.maybe_save_best(val.nll, state,
                                  loader_state=loader.state_dict())
+            if bool(config.eval.generate_samples):
+                _log_validation_samples(config, spec, apply_fn, state,
+                                        tokenizer, metrics_log, step)
         ckpt.maybe_save_last(step, state,
                              loader_state=loader.state_dict())
     ckpt.save('last', state, loader_state=loader.state_dict())
     metrics_log.close()
     return state
+
+
+def _flexible_truncate(config, batch, tokenizer, rng):
+    """Flexible-length training: random truncation with EOS patch
+    (reference diffusion.py:706-717). Lengths are bucketed to powers of
+    two to bound XLA recompiles (TPU adaptation; the reference pays no
+    compile cost on GPU eager)."""
+    L = batch['input_ids'].shape[1]
+    new_len = rng.randint(2, max(3, min(int(config.model.length), L)))
+    bucket = 1 << (new_len - 1).bit_length()
+    new_len = min(bucket, L)
+    ids = batch['input_ids'][:, :new_len].copy()
+    if tokenizer.eos_token_id is not None:
+        ids[:, -1] = tokenizer.eos_token_id
+    return {**batch, 'input_ids': ids,
+            'attention_mask': batch['attention_mask'][:, :new_len]}
+
+
+def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
+                            metrics_log, step):
+    """Sample generation during validation (reference
+    on_validation_epoch_end, diffusion.py:945-1004): a couple of
+    sequences (per class when guidance is configured) logged to the
+    metrics stream."""
+    from ddg_tpu.runtime.averaging import averaged_params as _avg
+    params = _avg(state.averaging, state.params)
+    cfg = Config(config.to_dict())
+    cfg.sampling['batch_size'] = 2
+    try:
+        if (config.training.get('guidance') is not None
+                and config.data.get('num_classes')):
+            cfg['guidance'] = {'method': 'cfg', 'condition': 0,
+                               'gamma': 1.0}
+            for c in range(int(config.data.num_classes)):
+                cfg.guidance['condition'] = c
+                out = sample(cfg, spec, apply_fn, params,
+                             tokenizer=tokenizer,
+                             rng=jax.random.PRNGKey(step + c))
+                texts = tokenizer.batch_decode(np.asarray(out))
+                metrics_log.log(step, {
+                    f'samples/class_{c}': texts[0]
+                    if isinstance(texts[0], str) else '<image>'})
+        else:
+            out = sample(cfg, spec, apply_fn, params,
+                         tokenizer=tokenizer,
+                         rng=jax.random.PRNGKey(step))
+            texts = tokenizer.batch_decode(np.asarray(out))
+            metrics_log.log(step, {
+                'samples/text': texts[0]
+                if isinstance(texts[0], str) else '<image>'})
+    except Exception as e:  # sampling must never kill training
+        LOGGER.warning(f'validation sampling failed: {e}')
 
 
 def validate(config, spec, apply_fn, state, valid_data, *, rng,
@@ -647,6 +732,27 @@ def lengths_eval(config: Config) -> dict:
     return results
 
 
+def ppl_eval_all(config: Config) -> dict:
+    """mode=ppl_eval_all: sweep checkpoints under a models root with
+    per-family overrides (reference main.py:327-396). Each subdirectory
+    of eval.models_root is treated as a run dir with checkpoints/."""
+    root = str(config.eval.get('models_root', ''))
+    assert root, 'set +eval.models_root=<dir>'
+    results = {}
+    for name in sorted(os.listdir(root)):
+        ckpt_path = os.path.join(root, name, 'checkpoints', 'last')
+        if not os.path.isdir(ckpt_path):
+            continue
+        cfg = Config(config.to_dict())
+        cfg.eval['checkpoint_path'] = ckpt_path
+        try:
+            results[name] = ppl_eval(cfg)
+        except Exception as e:
+            results[name] = f'error: {e}'
+    LOGGER.info(f'ppl_eval_all: {results}')
+    return results
+
+
 def lcsc_search(config: Config) -> dict:
     """mode=lcsc (reference main.py:110-183 + lcsc.py)."""
     from ddg_tpu.lcsc import combine_checkpoints_diff, run_lcsc
@@ -709,6 +815,8 @@ def main(argv=None):
         return gen_ppl_eval(config)
     if mode == 'lengths_eval':
         return lengths_eval(config)
+    if mode == 'ppl_eval_all':
+        return ppl_eval_all(config)
     if mode == 'lcsc':
         return lcsc_search(config)
     raise NotImplementedError(f'mode {mode} not implemented.')

@@ -1,0 +1,235 @@
+"""Fused Pallas denoise-step kernels for absorbing-state sampling.
+
+The north-star fusion (BASELINE.json): one kernel per reverse step that
+takes raw denoiser logits and produces the next tokens, instead of the
+reference's chain of separate ops (log_softmax -> exp -> posterior ->
+divide -> Gumbel divide -> argmax, /root/reference/diffusion.py:1378-1420,
+1738-1755), each of which is a full HBM pass over the (B, L, V) tensor.
+
+Math (absorbing state / MDLM):
+  x_theta = softmax(logits with mask-channel forced to -inf)
+  q_xs[v != mask] = x_theta[v] * (mct - mcs) / mct
+  q_xs[mask]      = mcs / mct
+  xs ~ Gumbel-max(q_xs);  xs = xt where xt != mask (copy-over)
+
+Gumbel-max is shift/scale invariant, so the kernel samples
+  argmax_v [ log_tilde_q_v + G_v ]
+with log_tilde_q_v = logits_v - LSE(logits) + log(mct - mcs) for
+v != mask and log(mcs) for the mask channel — a single pass over V per
+row computing LSE and the perturbed argmax, with Gumbel noise generated
+on-chip (pltpu.prng_random_bits), i.e. zero extra HBM traffic beyond
+one read of the logits.
+
+CFG variant: log-probs are the gamma-interpolation of cond/uncond
+log_softmax (diffusion.py:1475-1480); the kernel reads both logits
+tiles and fuses interpolation + softmax + posterior + sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> float32 uniform in (0, 1): top 24 bits, routed through
+    int32 (Mosaic lacks a uint32->f32 cast; values < 2^24 are identical
+    in int32)."""
+    top = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-10
+
+
+def _gumbel(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u = _uniform_from_bits(bits)
+    return -jnp.log(-jnp.log(u))
+
+
+def _row_sample(perturbed, vocab_size):
+    """argmax over the (possibly padded) last (vocab) axis."""
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, perturbed.shape,
+                                     perturbed.ndim - 1)
+    valid = v_ids < vocab_size
+    perturbed = jnp.where(valid, perturbed, NEG)
+    return jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+
+
+def _absorbing_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, logits_ref,
+                      out_ref, *, vocab_size: int, mask_index: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + b * 65537 + i)
+
+    logits = logits_ref[...].astype(jnp.float32)  # (1, TL, Vp)
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape,
+                                     logits.ndim - 1)
+    is_mask = v_ids == mask_index
+    valid = v_ids < vocab_size
+    # SUBS zero-masking: mask channel -> -inf before softmax
+    masked_logits = jnp.where(is_mask | ~valid, NEG, logits)
+    row_max = jnp.max(masked_logits, axis=-1, keepdims=True)
+    lse = row_max + jnp.log(
+        jnp.sum(jnp.exp(masked_logits - row_max), axis=-1,
+                keepdims=True))
+
+    mct = mct_ref[0]
+    mcs = mcs_ref[0]
+    log_move = jnp.log(mct - mcs)
+    log_stay = jnp.log(mcs)
+
+    log_q = jnp.where(is_mask, log_stay,
+                      masked_logits - lse + log_move)
+    perturbed = log_q + _gumbel(logits.shape)
+    xs = _row_sample(perturbed, vocab_size)
+
+    xt = xt_ref[0, 0, 0, :]
+    out_ref[0, 0, 0, :] = jnp.where(xt != mask_index, xt, xs[0])
+
+
+def _cfg_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, gamma_ref,
+                logits_c_ref, logits_u_ref, out_ref, *,
+                vocab_size: int, mask_index: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + b * 65537 + i)
+
+    v_ids = jax.lax.broadcasted_iota(
+        jnp.int32, logits_c_ref.shape, len(logits_c_ref.shape) - 1)
+    is_mask = v_ids == mask_index
+    valid = v_ids < vocab_size
+
+    def logp(ref):
+        lg = jnp.where(is_mask | ~valid, NEG,
+                       ref[...].astype(jnp.float32))
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1,
+                                  keepdims=True))
+        return lg - lse
+
+    gamma = gamma_ref[0]
+    # logit-space interpolation of x_theta (diffusion.py:1475-1477);
+    # the posterior shift log(mct-mcs) needs the mixture renormalized,
+    # so take LSE of the mixed logits too.
+    mixed = gamma * logp(logits_c_ref) + (1 - gamma) * logp(logits_u_ref)
+    mixed = jnp.where(is_mask | ~valid, NEG, mixed)
+    m = jnp.max(mixed, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(mixed - m), axis=-1,
+                              keepdims=True))
+
+    mct = mct_ref[0]
+    mcs = mcs_ref[0]
+    log_q = jnp.where(is_mask, jnp.log(mcs),
+                      mixed - lse + jnp.log(mct - mcs))
+    xs = _row_sample(log_q + _gumbel(mixed.shape), vocab_size)
+    xt = xt_ref[0, 0, 0, :]
+    out_ref[0, 0, 0, :] = jnp.where(xt != mask_index, xt, xs[0])
+
+
+def _pad_v(x, multiple=128):
+    v = x.shape[-1]
+    pad = (-v) % multiple
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+                    constant_values=NEG)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=('mask_index', 'tile_l'))
+def fused_absorbing_sample(seed, xt, logits, move_chance_t,
+                           move_chance_s, *, mask_index: int,
+                           tile_l: int = 16):
+    """Fused SUBS + posterior + Gumbel-argmax + copy-over.
+
+    seed: int32 scalar; xt: (B, L) int32; logits: (B, L, V);
+    move_chance_*: (B,) fp32. Returns xs (B, L) int32. Equivalent in
+    distribution to the unfused reference chain.
+    """
+    B, L, V = logits.shape
+    assert L % tile_l == 0, (L, tile_l)
+    logits = _pad_v(logits)
+    Vp = logits.shape[-1]
+    n_tiles = L // tile_l
+    grid = (B, n_tiles)
+    # int32 token blocks cannot satisfy the (8, 128) VMEM tiling at
+    # (1, tile_l); reshape to (B, n, 1, tile_l) so the block equals the
+    # trailing array dims exactly (allowed by the Mosaic tiling rule).
+    xt4 = xt.reshape(B, n_tiles, 1, tile_l)
+    kernel = functools.partial(_absorbing_kernel, vocab_size=V,
+                               mask_index=mask_index)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, tile_l),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b, i: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, i: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, tile_l),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, tile_l),
+                                       jnp.int32),
+    )(jnp.asarray([seed], jnp.int32), xt4,
+      move_chance_t.astype(jnp.float32),
+      move_chance_s.astype(jnp.float32), logits)
+    return out.reshape(B, L)
+
+
+@functools.partial(jax.jit, static_argnames=('mask_index', 'tile_l'))
+def fused_absorbing_cfg_sample(seed, xt, logits_cond, logits_uncond,
+                               gamma, move_chance_t, move_chance_s, *,
+                               mask_index: int, tile_l: int = 16):
+    """CFG variant: fused gamma-interpolation + softmax + posterior +
+    Gumbel-argmax + copy-over (diffusion.py:1475-1480)."""
+    B, L, V = logits_cond.shape
+    assert L % tile_l == 0, (L, tile_l)
+    logits_cond = _pad_v(logits_cond)
+    logits_uncond = _pad_v(logits_uncond)
+    Vp = logits_cond.shape[-1]
+    n_tiles = L // tile_l
+    grid = (B, n_tiles)
+    xt4 = xt.reshape(B, n_tiles, 1, tile_l)
+    kernel = functools.partial(_cfg_kernel, vocab_size=V,
+                               mask_index=mask_index)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, tile_l),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b, i: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, i: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, tile_l),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, tile_l),
+                                       jnp.int32),
+    )(jnp.asarray([seed], jnp.int32), xt4,
+      move_chance_t.astype(jnp.float32),
+      move_chance_s.astype(jnp.float32),
+      jnp.asarray([gamma], jnp.float32), logits_cond, logits_uncond)
+    return out.reshape(B, L)

@@ -171,3 +171,32 @@ class TestLoader:
         rest2 = [next(it2)['input_ids'][:, 0] for _ in range(5)]
         np.testing.assert_array_equal(np.concatenate(rest),
                                       np.concatenate(rest2))
+
+
+class TestNativeTokenizer:
+    def test_smiles_parity_with_regex(self):
+        from ddg_tpu.data.native import NativeTrieTokenizer
+        from ddg_tpu.data.tokenizers import QM9_TOKENS, QM9Tokenizer
+        nat = NativeTrieTokenizer(QM9_TOKENS, unk_id=4, id_offset=5,
+                                  mode='smiles')
+        ref = QM9Tokenizer()
+        for t in ['C[NH3+]c1ccccc1', 'CC(=O)N', 'CFCl', 'BrC(Cl)C',
+                  'C%12CC%12', 'Xy[zz', '[C@@H](O)/C=C\\F', '']:
+            assert nat.tokenize(t) == ref.encode(
+                t, add_special_tokens=False), t
+
+    def test_batch_with_specials(self):
+        from ddg_tpu.data.native import NativeTrieTokenizer
+        from ddg_tpu.data.tokenizers import QM9_TOKENS
+        nat = NativeTrieTokenizer(QM9_TOKENS, unk_id=4, id_offset=5,
+                                  mode='smiles')
+        ids, mask = nat.tokenize_batch(['CC', 'C(=O)N'], block_size=8,
+                                       bos_id=0, eos_id=1, pad_id=3)
+        np.testing.assert_array_equal(ids[0], [0, 15, 15, 1, 3, 3, 3, 3])
+        np.testing.assert_array_equal(mask[0], [1, 1, 1, 1, 0, 0, 0, 0])
+
+    def test_greedy_mode(self):
+        from ddg_tpu.data.native import NativeTrieTokenizer
+        nat = NativeTrieTokenizer(['a', 'ab', 'c'], unk_id=99)
+        assert nat.tokenize('abca') == [1, 2, 0]   # longest match 'ab'
+        assert nat.tokenize('axc') == [0, 99, 2]   # unk passthrough
