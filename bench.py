@@ -36,6 +36,8 @@ def main():
                    help='tiny model for CPU smoke runs')
     p.add_argument('--no-cache', action='store_true',
                    help='disable the MDLM NFE cache')
+    p.add_argument('--fused', action='store_true',
+                   help='use the fused Pallas denoise-step kernel')
     args = p.parse_args()
 
     from __graft_entry__ import _flagship
@@ -61,7 +63,8 @@ def main():
     # use_cache=True is the reference default (configs/config.yaml
     # sampling.use_cache); valid for MDLM because decoded tokens are
     # frozen — cached steps skip the denoiser forward via lax.cond.
-    sampler = SamplerSpec(steps=args.steps, use_cache=not args.no_cache)
+    sampler = SamplerSpec(steps=args.steps, use_cache=not args.no_cache,
+                          fused=args.fused)
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
     cond = jnp.zeros((args.batch,), jnp.int32)
 

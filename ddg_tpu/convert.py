@@ -55,6 +55,26 @@ def load_torch_state_dict(path: str, *, use_ema: bool = False) -> Dict:
             if hasattr(v, 'numpy')}
 
 
+def load_hf_udlm_state_dict(model_dir: str) -> Dict:
+    """Load a reference HF-export UDLM checkpoint directory
+    (kuleshov-group/udlm-* layout; reference models/hf/modeling_udlm.py
+    wraps the DIT as `backbone.*`, so the inner names match
+    `convert_dit_params` after prefix stripping)."""
+    import os
+    st_path = os.path.join(model_dir, 'model.safetensors')
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+        return dict(load_file(st_path))
+    bin_path = os.path.join(model_dir, 'pytorch_model.bin')
+    if os.path.exists(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location='cpu',
+                        weights_only=True)
+        return {k: v.float().numpy() for k, v in sd.items()}
+    raise FileNotFoundError(
+        f'No model.safetensors or pytorch_model.bin in {model_dir}')
+
+
 def _strip_prefix(state: Dict) -> Dict:
     out = {}
     for k, v in state.items():

@@ -635,7 +635,8 @@ def train_classifier(config: Config):
 
 
 def sample(config: Config, spec, apply_fn, params, *, tokenizer,
-           rng=None, classifier_apply=None, classifier_params=None):
+           rng=None, classifier_apply=None, classifier_params=None,
+           model_cfg=None):
     """Generate one batch of samples (reference Diffusion.sample,
     diffusion.py:1040-1083). `params` should already be EMA params when
     desired."""
@@ -648,12 +649,16 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
     if guidance is not None and guidance.method == 'cfg':
         cond = jnp.full((batch_size,), guidance.condition, jnp.int32)
     if spec.parameterization == 'ar':
+        # KV-cache fast path for DiT AR decoding.
+        decode_cfg = model_cfg if isinstance(model_cfg, DITConfig) \
+            else None
         return ar_sample(spec, sampler, apply_fn, params, rng,
                          batch_size=batch_size, length=length,
                          bos_token_id=tokenizer.bos_token_id,
                          guidance=guidance, cond=cond,
                          classifier_apply=classifier_apply,
-                         classifier_params=classifier_params)
+                         classifier_params=classifier_params,
+                         decode_cfg=decode_cfg)
     return diffusion_sample(spec, sampler, apply_fn, params, rng,
                             batch_size=batch_size, length=length,
                             guidance=guidance, cond=cond,

@@ -1,0 +1,138 @@
+"""KV-cache incremental decoding for the DiT AR family.
+
+The reference recomputes the full prefix every AR step for DiT
+(/root/reference/diffusion.py:1132-1133: `forward(x[:, :i+1])`), i.e.
+O(L^3) attention work per sequence. This module provides O(L^2) decode:
+one token per step against cached K/V, applied as pure functions over
+the *same* parameter pytree as `models.dit.DIT` (so training/decoding
+share checkpoints bit-for-bit).
+
+Used by `samplers.ar_sample` as the fast path; correctness is pinned by
+a test asserting per-position logits match the full causal forward.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ddg_tpu.models.dit import DITConfig, rope_cos_sin, timestep_embedding
+
+
+def init_cache(cfg: DITConfig, batch_size: int) -> Dict:
+    head_dim = cfg.hidden_size // cfg.n_heads
+    shape = (cfg.n_blocks, batch_size, cfg.length, cfg.n_heads, head_dim)
+    return {'k': jnp.zeros(shape, cfg.compute_dtype),
+            'v': jnp.zeros(shape, cfg.compute_dtype)}
+
+
+def _dense(p, x):
+    y = x @ p['kernel']
+    if 'bias' in p:
+        y = y + p['bias']
+    return y
+
+
+def _layer_norm(p, x):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * p['weight']).astype(x.dtype)
+
+
+def _rope_at(pos, head_dim):
+    """cos/sin row at a (traced) position."""
+    inv_freq = 1.0 / (10_000 ** (jnp.arange(0, head_dim, 2,
+                                            dtype=jnp.float32)
+                                 / head_dim))
+    f = pos.astype(jnp.float32) * inv_freq
+    return jnp.cos(f), jnp.sin(f)
+
+
+def _apply_rope_single(x, cos, sin):
+    """x: (B, H, D) at one position."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2].astype(jnp.float32), x[..., d2:].astype(
+        jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                          axis=-1)
+    return out.astype(x.dtype)
+
+
+def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
+                pos: jax.Array, cond=None) -> Tuple[jax.Array, Dict]:
+    """One AR decode step.
+
+    token: (B,) int32; pos: scalar int32 (0-based). Returns
+    (logits (B, V), new_cache). Matches DIT's causal forward at
+    position `pos` exactly (test_dit_decode).
+    """
+    B = token.shape[0]
+    head_dim = cfg.hidden_size // cfg.n_heads
+    x = params['vocab_embed'][token].astype(cfg.compute_dtype)  # (B, D)
+
+    c = None
+    if cond is not None:
+        emb = params['cond_map']['embedding'][cond]
+        c = jax.nn.silu(emb).astype(cfg.compute_dtype)
+
+    cos, sin = _rope_at(pos, head_dim)
+    new_k, new_v = [], []
+    for i in range(cfg.n_blocks):
+        p = params[f'block_{i}']
+        if cfg.use_adaLN and c is not None:
+            mod = _dense(p['adaLN_modulation'], c)
+            (sh_msa, sc_msa, g_msa,
+             sh_mlp, sc_mlp, g_mlp) = jnp.split(mod, 6, axis=-1)
+        skip = x
+        h = _layer_norm(p['norm1'], x)
+        if cfg.use_adaLN and c is not None:
+            h = h * (1 + sc_msa) + sh_msa
+        qkv = _dense(p['attn_qkv'], h).reshape(B, 3, cfg.n_heads,
+                                               head_dim)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q = _apply_rope_single(q, cos, sin)
+        k = _apply_rope_single(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_index_in_dim(
+            cache['k'][i], k, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_index_in_dim(
+            cache['v'][i], v, pos, axis=1)
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+        # attention of the single query over positions <= pos
+        logits = jnp.einsum('bhd,blhd->bhl', q.astype(jnp.float32),
+                            k_cache.astype(jnp.float32))
+        logits = logits / jnp.sqrt(jnp.float32(head_dim))
+        l_ids = jnp.arange(cfg.length)
+        logits = jnp.where(l_ids[None, None, :] <= pos, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum('bhl,blhd->bhd', w,
+                          v_cache.astype(jnp.float32))
+        attn = attn.reshape(B, cfg.hidden_size).astype(cfg.compute_dtype)
+        h = _dense(p['attn_out'], attn)
+        if cfg.use_adaLN and c is not None:
+            h = g_msa * h
+        x = skip + h
+        skip = x
+        h = _layer_norm(p['norm2'], x)
+        if cfg.use_adaLN and c is not None:
+            h = h * (1 + sc_mlp) + sh_mlp
+        h = _dense(p['mlp_in'], h)
+        h = jax.nn.gelu(h, approximate=True)
+        h = _dense(p['mlp_out'], h)
+        if cfg.use_adaLN and c is not None:
+            h = g_mlp * h
+        x = skip + h
+
+    h = _layer_norm(params['norm_final'], x)
+    if cfg.use_adaLN and c is not None and 'final_adaLN' in params:
+        mod = _dense(params['final_adaLN'], c)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        h = h * (1 + scale) + shift
+    logits = _dense(params['output_linear'],
+                    h.astype(jnp.float32)).astype(jnp.float32)
+    new_cache = {'k': jnp.stack(new_k), 'v': jnp.stack(new_v)}
+    return logits, new_cache

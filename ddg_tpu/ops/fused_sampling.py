@@ -37,27 +37,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _uniform_from_bits(bits):
-    """uint32 -> float32 uniform in (0, 1): top 24 bits, routed through
-    int32 (Mosaic lacks a uint32->f32 cast; values < 2^24 are identical
-    in int32)."""
-    top = pltpu.bitcast(bits >> 8, jnp.int32)
-    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-10
-
-
 def _gumbel(shape):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u = _uniform_from_bits(bits)
+    """Standard Gumbel noise from the on-chip PRNG. int32 all the way
+    (Mosaic has no uint32<->f32 path): logical-shift the random bits
+    right by 8 for a non-negative 24-bit integer, scale to (0, 1)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    top = jax.lax.shift_right_logical(bits, 8)
+    u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-10
     return -jnp.log(-jnp.log(u))
 
 
 def _row_sample(perturbed, vocab_size):
-    """argmax over the (possibly padded) last (vocab) axis."""
+    """argmax over the (possibly padded) last (vocab) axis, written as
+    max + index-select (Mosaic's argmax lowering hits an unrealized
+    f32->i32 vector cast on this shape)."""
     v_ids = jax.lax.broadcasted_iota(jnp.int32, perturbed.shape,
                                      perturbed.ndim - 1)
     valid = v_ids < vocab_size
     perturbed = jnp.where(valid, perturbed, NEG)
-    return jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+    m = jnp.max(perturbed, axis=-1, keepdims=True)
+    # lowest index attaining the max (ties -> first, like argmax)
+    big = jnp.iinfo(jnp.int32).max
+    idx = jnp.where(perturbed >= m, v_ids, big)
+    return jnp.min(idx, axis=-1).astype(jnp.int32)
 
 
 def _absorbing_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, logits_ref,

@@ -459,15 +459,27 @@ def ar_sample(spec: DiffusionSpec, sampler: SamplerSpec, model_apply,
               bos_token_id: int,
               guidance: Optional[GuidanceSpec] = None,
               cond: Optional[jax.Array] = None,
-              classifier_apply=None, classifier_params=None) -> jax.Array:
+              classifier_apply=None, classifier_params=None,
+              decode_cfg=None) -> jax.Array:
     """AR decoding (reference `_ar_sample`, diffusion.py:1085-1186).
 
-    Correctness-first implementation: full-length causal forward each
-    step inside `lax.scan` with position masking (static shapes). Tokens
-    beyond the current position are zeros and cannot influence position
-    i's logits under the causal mask. A KV-cache decode path is the
-    planned optimization.
+    Two paths:
+      * `decode_cfg` (a DITConfig) -> O(L^2) KV-cache incremental
+        decoding (models/dit_decode.py) for none/CFG guidance — the
+        TPU-native replacement for the reference's full-prefix
+        recomputation (diffusion.py:1132-1133);
+      * fallback: full-length causal forward each step inside
+        `lax.scan` with position masking (static shapes) — used for
+        FUDGE (classifier needs full-prefix scoring anyway) and
+        non-DiT backbones.
     """
+    method0 = guidance.method if guidance is not None else None
+    if decode_cfg is not None and method0 in (None, 'cfg'):
+        return _ar_sample_kv(spec, sampler, params, key,
+                             batch_size=batch_size, length=length,
+                             bos_token_id=bos_token_id,
+                             guidance=guidance, cond=cond,
+                             decode_cfg=decode_cfg)
     num_pred = length - 1
     noise_key, scan_key = jax.random.split(key)
     noise_shape = (batch_size, num_pred,
@@ -556,4 +568,60 @@ def ar_sample(spec: DiffusionSpec, sampler: SamplerSpec, model_apply,
         return x, None
 
     x_final, _ = jax.lax.scan(step_fn, x0, jnp.arange(num_pred))
+    return x_final
+
+
+def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
+                  bos_token_id, guidance, cond, decode_cfg):
+    """KV-cache AR decoding; CFG runs cond+uncond as one 2B batch."""
+    from ddg_tpu.models.dit_decode import decode_step, init_cache
+
+    num_pred = length - 1
+    # Same key split as the fallback path so both paths draw identical
+    # Gumbel noise (token-for-token agreement).
+    noise_key, _ = jax.random.split(key)
+    gumbel = S.gumbel_noise_like(
+        noise_key, (batch_size, num_pred, spec.vocab_size),
+        dtype=_sample_dtype(sampler))
+    method = guidance.method if guidance is not None else None
+    gamma = guidance.gamma if guidance is not None else None
+
+    if method == 'cfg' and gamma not in (0.0, 1.0):
+        dec_B = 2 * batch_size
+        dec_cond = jnp.concatenate(
+            [cond, jnp.full_like(cond, spec.num_classes)], axis=0)
+    else:
+        dec_B = batch_size
+        if method is None:
+            dec_cond = None
+        elif gamma == 0.0:
+            dec_cond = jnp.full_like(cond, spec.num_classes)
+        else:
+            dec_cond = cond
+
+    cache0 = init_cache(decode_cfg, dec_B)
+    x0 = jnp.zeros((batch_size, length), dtype=jnp.int32)
+    x0 = x0.at[:, 0].set(bos_token_id)
+
+    def step_fn(carry, i):
+        x, cache = carry
+        tok = x[:, i]
+        dec_tok = (jnp.concatenate([tok, tok], axis=0)
+                   if dec_B == 2 * batch_size else tok)
+        logits, cache = decode_step(decode_cfg, params, cache, dec_tok,
+                                    i, cond=dec_cond)
+        lp = jax.nn.log_softmax(
+            logits.astype(_sample_dtype(sampler)), axis=-1)
+        if dec_B == 2 * batch_size:
+            lp = gamma * lp[:batch_size] + (1 - gamma) * lp[batch_size:]
+            lp = jax.nn.log_softmax(lp, axis=-1)
+        y = S.sample_token(
+            lp, gumbel[:, i],
+            low_confidence_sampling=sampler.low_confidence_sampling,
+            low_confidence_threshold=sampler.low_confidence_threshold)
+        x = x.at[:, i + 1].set(y)
+        return (x, cache), None
+
+    (x_final, _), _ = jax.lax.scan(step_fn, (x0, cache0),
+                                   jnp.arange(num_pred))
     return x_final

@@ -188,3 +188,24 @@ class TestCacheEquivalence:
                 np.testing.assert_array_equal(np.asarray(out),
                                               np.asarray(prev))
             prev = out
+
+
+class TestARKVCache:
+    def test_kv_path_matches_full_forward_path(self):
+        """With identical keys, the KV-cache AR path must produce the
+        same tokens as the full-forward path."""
+        import dataclasses as dc
+        cfg = dc.replace(MODEL_CFG, causal=True, use_adaLN=False)
+        model = DIT(cfg)
+        x = jax.random.randint(KEY, (B, L), 0, V)
+        params = model.init(KEY, x, None)['params']
+        params = jax.tree.map(
+            lambda p: p + 0.02 * jax.random.normal(KEY, p.shape), params)
+        apply_fn = make_model_apply(model)
+        sampler = SamplerSpec(steps=0)
+        slow = ar_sample(AR, sampler, apply_fn, params, KEY,
+                         batch_size=B, length=L, bos_token_id=0)
+        fast = ar_sample(AR, sampler, apply_fn, params, KEY,
+                         batch_size=B, length=L, bos_token_id=0,
+                         decode_cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(slow), np.asarray(fast))
