@@ -38,6 +38,8 @@ def main():
                    help='disable the MDLM NFE cache')
     p.add_argument('--fused', action='store_true',
                    help='use the fused Pallas denoise-step kernel')
+    p.add_argument('--bf16-head', action='store_true',
+                   help='bf16 vocab-projection matmul (full MXU rate)')
     args = p.parse_args()
 
     from __graft_entry__ import _flagship
@@ -48,6 +50,9 @@ def main():
     spec, cfg, model, apply_fn = _flagship(tiny=args.quick)
     spec = dataclasses.replace(spec, num_classes=2)
     cfg = dataclasses.replace(cfg, num_classes=2)
+    if args.bf16_head:
+        import jax.numpy as _jnp
+        cfg = dataclasses.replace(cfg, logits_dtype=_jnp.bfloat16)
     from ddg_tpu.models import DIT, make_model_apply
     model = DIT(cfg)
     apply_fn = make_model_apply(model)

@@ -166,3 +166,53 @@ def make_reference_dit_state_dict(rng: np.random.RandomState, *,
     s['output_layer.adaLN_modulation.weight'] = r(2 * hidden, cond_dim)
     s['output_layer.adaLN_modulation.bias'] = r(2 * hidden)
     return s
+
+
+def export_dit_params(params: Dict, *, n_blocks: int) -> Dict:
+    """Inverse of `convert_dit_params`: ddg_tpu DIT params -> a state
+    dict in the reference's naming (loadable by the reference DIT /
+    HF-export UDLM after prefixing) — migration in both directions."""
+    def T(x):
+        return np.ascontiguousarray(np.asarray(x).T)
+
+    def A(x):
+        return np.asarray(x)
+
+    s: Dict = {}
+    s['vocab_embed.embedding'] = A(params['vocab_embed'])
+    if 'sigma_map' in params:
+        sm = params['sigma_map']
+        s['sigma_map.mlp.0.weight'] = T(sm['mlp1']['kernel'])
+        s['sigma_map.mlp.0.bias'] = A(sm['mlp1']['bias'])
+        s['sigma_map.mlp.2.weight'] = T(sm['mlp2']['kernel'])
+        s['sigma_map.mlp.2.bias'] = A(sm['mlp2']['bias'])
+    if 'cond_map' in params:
+        s['cond_map.embedding_table.weight'] = A(
+            params['cond_map']['embedding'])
+    for i in range(n_blocks):
+        b = params[f'block_{i}']
+        p = f'blocks.{i}.'
+        s[p + 'norm1.weight'] = A(b['norm1']['weight'])
+        s[p + 'norm2.weight'] = A(b['norm2']['weight'])
+        s[p + 'attn_qkv.weight'] = T(b['attn_qkv']['kernel'])
+        s[p + 'attn_out.weight'] = T(b['attn_out']['kernel'])
+        s[p + 'mlp.0.weight'] = T(b['mlp_in']['kernel'])
+        s[p + 'mlp.0.bias'] = A(b['mlp_in']['bias'])
+        s[p + 'mlp.2.weight'] = T(b['mlp_out']['kernel'])
+        s[p + 'mlp.2.bias'] = A(b['mlp_out']['bias'])
+        if 'adaLN_modulation' in b:
+            s[p + 'adaLN_modulation.weight'] = T(
+                b['adaLN_modulation']['kernel'])
+            s[p + 'adaLN_modulation.bias'] = A(
+                b['adaLN_modulation']['bias'])
+    s['output_layer.norm_final.weight'] = A(
+        params['norm_final']['weight'])
+    s['output_layer.linear.weight'] = T(
+        params['output_linear']['kernel'])
+    s['output_layer.linear.bias'] = A(params['output_linear']['bias'])
+    if 'final_adaLN' in params:
+        s['output_layer.adaLN_modulation.weight'] = T(
+            params['final_adaLN']['kernel'])
+        s['output_layer.adaLN_modulation.bias'] = A(
+            params['final_adaLN']['bias'])
+    return s

@@ -272,6 +272,137 @@ def load_qm9(cache_dir: str, block_size: int = 32, *,
 
 
 # ---------------------------------------------------------------------------
+# LM1B / Amazon Polarity (HF-backed with synthetic offline fallback)
+# ---------------------------------------------------------------------------
+
+def _synthetic_token_corpus(rs: np.random.RandomState, n: int,
+                            vocab: int, mean_len: int):
+    """Zipf-distributed word-id sequences (schema stand-in)."""
+    lengths = np.clip(rs.poisson(mean_len, n), 4, None)
+    return [rs.zipf(1.3, size=int(l)).clip(0, vocab - 1).astype(np.int32)
+            for l in lengths]
+
+
+def load_lm1b(cache_dir: str, tokenizer, block_size: int = 128, *,
+              synthetic: bool = False, n_synthetic: int = 2048,
+              valid_size: int = 300_000
+              ) -> Dict[str, Dict[str, np.ndarray]]:
+    """LM1B with the fork's held-out validation split: `valid_size`
+    examples carved from train with seed 42 (reference
+    dataloader.py:310-343). wrap=False: per-example pad/truncate with
+    BOS/EOS (data/lm1b.yaml add_special_tokens=True)."""
+    key = hashlib.md5(
+        f'lm1b-{block_size}-{synthetic}-{valid_size}'.encode()
+    ).hexdigest()[:10]
+    cache = os.path.join(cache_dir, f'lm1b_{key}.npz')
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return {s: {'input_ids': z[f'{s}_ids'],
+                    'attention_mask': z[f'{s}_mask']}
+                for s in ['train', 'validation', 'test']}
+    bos = tokenizer.bos_token_id
+    eos = tokenizer.eos_token_id
+    pad = tokenizer.pad_token_id
+    if synthetic:
+        rs = np.random.RandomState(0)
+        vocab = tokenizer.vocab_size
+        def toks(n):
+            seqs = _synthetic_token_corpus(rs, n, vocab - 10,
+                                           block_size // 2)
+            return [[bos] + list(s[:block_size - 2]) + [eos]
+                    for s in seqs]
+        train_tok = toks(n_synthetic)
+        test_tok = toks(max(n_synthetic // 8, 8))
+    else:
+        try:
+            import datasets as hf_datasets
+            ds = hf_datasets.load_dataset('lm1b', split='train')
+            test = hf_datasets.load_dataset('lm1b', split='test')
+            train_tok = [tokenizer.encode(lm1b_detokenizer(t))
+                         for t in ds['text']]
+            test_tok = [tokenizer.encode(lm1b_detokenizer(t))
+                        for t in test['text']]
+        except Exception as e:
+            raise FileNotFoundError(
+                'lm1b dataset unavailable offline; pass '
+                f'synthetic=True ({e})') from e
+    # 300K-val carve-out, seed 42 (dataloader.py:310-343).
+    rs = np.random.RandomState(42)
+    perm = rs.permutation(len(train_tok))
+    n_val = min(valid_size, len(train_tok) // 10)
+    val_idx = set(perm[:n_val].tolist())
+    val_tok = [train_tok[i] for i in sorted(val_idx)]
+    tr_tok = [t for i, t in enumerate(train_tok) if i not in val_idx]
+    out, save = {}, {}
+    for split, toks_list in [('train', tr_tok), ('validation', val_tok),
+                             ('test', test_tok)]:
+        d = pad_texts(toks_list, block_size, pad)
+        out[split] = d
+        save[f'{split}_ids'] = d['input_ids']
+        save[f'{split}_mask'] = d['attention_mask']
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(cache, **save)
+    return out
+
+
+def load_amazon_polarity(cache_dir: str, tokenizer,
+                         block_size: int = 128, *,
+                         synthetic: bool = False,
+                         n_synthetic: int = 512
+                         ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Amazon Polarity reviews with binary sentiment labels
+    (reference dataloader.py:267-307, data/amazon_polarity.yaml)."""
+    key = hashlib.md5(
+        f'amazon-{block_size}-{synthetic}'.encode()).hexdigest()[:10]
+    cache = os.path.join(cache_dir, f'amazon_{key}.npz')
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return {s: {'input_ids': z[f'{s}_ids'],
+                    'attention_mask': z[f'{s}_mask'],
+                    'label': z[f'{s}_label']}
+                for s in ['train', 'test']}
+    bos, eos, pad = (tokenizer.bos_token_id, tokenizer.eos_token_id,
+                     tokenizer.pad_token_id)
+    if synthetic:
+        rs = np.random.RandomState(0)
+        vocab = tokenizer.vocab_size
+        def make(n):
+            seqs = _synthetic_token_corpus(rs, n, vocab - 10,
+                                           block_size // 2)
+            toks_list = [[bos] + list(s[:block_size - 2]) + [eos]
+                         for s in seqs]
+            labels = rs.randint(0, 2, n).astype(np.int32)
+            d = pad_texts(toks_list, block_size, pad, labels)
+            return d
+        out = {'train': make(n_synthetic),
+               'test': make(max(n_synthetic // 8, 8))}
+    else:
+        try:
+            import datasets as hf_datasets
+            out = {}
+            for split in ['train', 'test']:
+                ds = hf_datasets.load_dataset('amazon_polarity',
+                                              split=split)
+                toks_list = [tokenizer.encode(t)
+                             for t in ds['content']]
+                out[split] = pad_texts(
+                    toks_list, block_size, pad,
+                    np.asarray(ds['label'], np.int32))
+        except Exception as e:
+            raise FileNotFoundError(
+                'amazon_polarity unavailable offline; pass '
+                f'synthetic=True ({e})') from e
+    save = {}
+    for split, d in out.items():
+        save[f'{split}_ids'] = d['input_ids']
+        save[f'{split}_mask'] = d['attention_mask']
+        save[f'{split}_label'] = d['label']
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(cache, **save)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Species10 genomics
 # ---------------------------------------------------------------------------
 

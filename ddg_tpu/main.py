@@ -248,10 +248,22 @@ def build_data(config: Config, *, synthetic: Optional[bool] = None):
     if name == 'cifar10':
         splits = D.load_cifar10(cache, synthetic=synthetic)
         return {'train': splits['train'], 'valid': splits['test']}
-    raise NotImplementedError(
-        f'Dataset {name} requires HF assets not available offline; '
-        'supported offline: text8, qm9, ten_species, cifar10 '
-        '(synthetic or local files).')
+    if name == 'lm1b':
+        tok = build_tokenizer(config)
+        splits = D.load_lm1b(cache, tok,
+                             block_size=int(config.model.length),
+                             synthetic=synthetic)
+        # validation split is the held-out carve-out (force_val
+        # behavior of the fork, dataloader.py:526-533).
+        return {'train': splits['train'],
+                'valid': splits['validation']}
+    if name == 'amazon_polarity':
+        tok = build_tokenizer(config)
+        splits = D.load_amazon_polarity(
+            cache, tok, block_size=int(config.model.length),
+            synthetic=synthetic)
+        return {'train': splits['train'], 'valid': splits['test']}
+    raise NotImplementedError(f'Dataset {name} not implemented.')
 
 
 def build_mesh(config: Config):
@@ -425,6 +437,12 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
             loader.load_state_dict(meta['loader_state'])
         LOGGER.info(f'Resumed from step {int(state.step)}')
 
+    # Config snapshot (reference `_print_config` saves config_tree.txt,
+    # main.py:78-82).
+    os.makedirs(str(config.checkpointing.save_dir), exist_ok=True)
+    with open(os.path.join(str(config.checkpointing.save_dir),
+                           'config_tree.txt'), 'w') as f:
+        f.write(config.pretty())
     metrics_log = MetricsLogger(os.path.join(
         str(config.checkpointing.save_dir), 'metrics.jsonl'))
     max_steps = max_steps_override or int(config.trainer.max_steps)
@@ -450,6 +468,8 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
         batch = next(it)
         if config.data.train == 'text8':
             batch = _maybe_crop_text8(config, batch, tokenizer, crop_rng)
+        if config.data.train == 'cifar10':
+            batch = _flip_cifar(batch, crop_rng)
         if flex and crop_rng.rand() < flex_frac:
             batch = _flexible_truncate(config, batch, tokenizer,
                                        crop_rng)
@@ -495,6 +515,17 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
     ckpt.save('last', state, loader_state=loader.state_dict())
     metrics_log.close()
     return state
+
+
+def _flip_cifar(batch, rng):
+    """Random horizontal flip of flat (C*H*W) pixel tokens (reference
+    DiscreteCIFAR10 transform, discretized_cifar10.py:46-53)."""
+    x = batch['input_ids']
+    imgs = x.reshape(-1, 3, 32, 32)
+    flip = rng.rand(x.shape[0]) < 0.5
+    imgs = imgs.copy()
+    imgs[flip] = imgs[flip][:, :, :, ::-1]
+    return {**batch, 'input_ids': imgs.reshape(x.shape)}
 
 
 def _flexible_truncate(config, batch, tokenizer, rng):
@@ -777,13 +808,36 @@ def lcsc_search(config: Config) -> dict:
         st, _ = mgr.restore(f'step-{s}', state)
         trees.append(averaged_params(st.averaging, st.params))
 
+    metric_name = lc.get('metric', 'ppl')
+
     def fitness(alphas):
         merged = combine_checkpoints_diff(trees, alphas)
         st = dataclasses.replace(state, params=merged, averaging=None)
-        metric = validate(config, spec, apply_fn, st, data['valid'],
-                          rng=jax.random.PRNGKey(int(config.seed)),
-                          max_batches=int(lc.get('fitness_batches', 4)))
-        return metric.ppl
+        if metric_name == 'ppl':
+            m = validate(config, spec, apply_fn, st, data['valid'],
+                         rng=jax.random.PRNGKey(int(config.seed)),
+                         max_batches=int(lc.get('fitness_batches', 4)))
+            return m.ppl
+        # sample-based fitness (gen_ppl / entropy,
+        # reference lcsc.py:94-115)
+        texts, toks = [], []
+        rng2 = jax.random.PRNGKey(int(config.seed))
+        for _ in range(int(lc.get('num_sample_batches', 1))):
+            rng2, srng = jax.random.split(rng2)
+            out = sample(config, spec, apply_fn, merged,
+                         tokenizer=tokenizer, rng=srng)
+            toks.extend(np.asarray(out))
+            texts.extend(tokenizer.batch_decode(np.asarray(out)))
+        if metric_name == 'entropy':
+            # negative entropy: lower-is-better search objective
+            return -unigram_entropy(toks)
+        if metric_name == 'gen_ppl':
+            from ddg_tpu.eval_utils import compute_generative_ppl
+            return compute_generative_ppl(
+                texts, judge_model_name=config.eval.get(
+                    'generative_ppl_model_name_or_path', 'gpt2-large'),
+                max_length=int(config.model.length))
+        raise ValueError(f'Unknown LCSC metric {metric_name}')
 
     best_alpha, best_score = run_lcsc(
         num_checkpoints=len(trees), fitness=fitness,

@@ -42,6 +42,11 @@ class DITConfig:
     use_adaLN: bool = True        # False only for pure AR without cond
     num_classes: Optional[int] = None  # +1 null class added internally
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Head matmul dtype. float32 is the parity default; bfloat16 runs
+    # the (hidden x vocab) projection at full MXU rate and halves the
+    # logits HBM traffic — sampling-quality impact is one bf16 rounding
+    # of the logits.
+    logits_dtype: jnp.dtype = jnp.float32
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -231,8 +236,8 @@ class DIT(nn.Module):
         logits = nn.Dense(cfg.vocab_size,
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
-                          dtype=jnp.float32, name='output_linear')(
-            h.astype(jnp.float32))
+                          dtype=cfg.logits_dtype, name='output_linear')(
+            h.astype(cfg.logits_dtype))
         if return_hidden_states:
             return logits, hidden
         return logits

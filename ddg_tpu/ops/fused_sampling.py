@@ -80,8 +80,8 @@ def _absorbing_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, logits_ref,
         jnp.sum(jnp.exp(masked_logits - row_max), axis=-1,
                 keepdims=True))
 
-    mct = mct_ref[0]
-    mcs = mcs_ref[0]
+    mct = mct_ref[b]
+    mcs = mcs_ref[b]
     log_move = jnp.log(mct - mcs)
     log_stay = jnp.log(mcs)
 
@@ -124,8 +124,8 @@ def _cfg_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, gamma_ref,
     lse = m + jnp.log(jnp.sum(jnp.exp(mixed - m), axis=-1,
                               keepdims=True))
 
-    mct = mct_ref[0]
-    mcs = mcs_ref[0]
+    mct = mct_ref[b]
+    mcs = mcs_ref[b]
     log_q = jnp.where(is_mask, jnp.log(mcs),
                       mixed - lse + jnp.log(mct - mcs))
     xs = _row_sample(log_q + _gumbel(mixed.shape), vocab_size)
@@ -172,10 +172,8 @@ def fused_absorbing_sample(seed, xt, logits, move_chance_t,
             pl.BlockSpec((1, 1, 1, tile_l),
                          lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b, i: (b,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, i: (b,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -214,12 +212,9 @@ def fused_absorbing_cfg_sample(seed, xt, logits_cond, logits_uncond,
             pl.BlockSpec((1, 1, 1, tile_l),
                          lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b, i: (b,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, i: (b,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, i: (0,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),

@@ -104,3 +104,21 @@ def shard_train_step(mesh: Mesh, train_step, state, batch):
         return jax.device_put(b, batch_shardings(mesh, b))
 
     return jitted, place_state, place_batch
+
+
+def shard_sample_fn(mesh: Mesh, sample_fn, params):
+    """jit a sampling closure with params replicated and the token
+    output sharded over 'data' — the north-star data-parallel guided
+    generation layout (BASELINE.json): each chip runs the full
+    lax.scan reverse process on its shard of the sample batch; no
+    collectives are needed during sampling.
+
+    sample_fn(params, key) -> tokens (B, L); B must divide the data
+    axis.
+    """
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P('data'))
+    jitted = jax.jit(sample_fn, in_shardings=(rep, rep),
+                     out_shardings=out_sh)
+    params = jax.device_put(params, rep)
+    return jitted, params

@@ -42,7 +42,10 @@ def _raw_logits(spec, model_apply, params, xt, sigma, cond=None):
 
 
 def _fused_ok(spec, sampler, guidance):
+    # The fused kernels are Mosaic/TPU programs; fall back to the jnp
+    # chain on other backends (e.g. the CPU test mesh).
     return (sampler.fused
+            and jax.default_backend() == 'tpu'
             and spec.diffusion == 'absorbing_state'
             and spec.parameterization == 'subs'
             and not sampler.low_confidence_sampling

@@ -134,3 +134,17 @@ def test_lightning_prefix_stripping():
     b = convert_dit_params(prefixed, n_blocks=1)
     for va, vb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(va, vb)
+
+
+def test_export_roundtrip():
+    rng = np.random.RandomState(2)
+    state = make_reference_dit_state_dict(
+        rng, hidden=32, cond_dim=16, n_blocks=2, vocab=9,
+        with_cond=True)
+    from ddg_tpu.convert import export_dit_params
+    params = convert_dit_params(state, n_blocks=2)
+    back = export_dit_params(params, n_blocks=2)
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_allclose(back[k], state[k], atol=1e-7,
+                                   err_msg=k)

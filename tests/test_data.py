@@ -200,3 +200,24 @@ class TestNativeTokenizer:
         nat = NativeTrieTokenizer(['a', 'ab', 'c'], unk_id=99)
         assert nat.tokenize('abca') == [1, 2, 0]   # longest match 'ab'
         assert nat.tokenize('axc') == [0, 99, 2]   # unk passthrough
+
+
+class TestLM1BAmazonSynthetic:
+    def test_lm1b_schema_and_val_carveout(self, tmp_path):
+        from ddg_tpu.data.tokenizers import FallbackWordTokenizer
+        tok = FallbackWordTokenizer()
+        data = D.load_lm1b(str(tmp_path), tok, block_size=32,
+                           synthetic=True, n_synthetic=128)
+        assert set(data) == {'train', 'validation', 'test'}
+        assert data['train']['input_ids'].shape[1] == 32
+        assert len(data['validation']['input_ids']) > 0
+        # rows start with BOS where unpadded
+        assert data['train']['input_ids'][0, 0] == tok.bos_token_id
+
+    def test_amazon_schema(self, tmp_path):
+        from ddg_tpu.data.tokenizers import FallbackWordTokenizer
+        tok = FallbackWordTokenizer()
+        data = D.load_amazon_polarity(str(tmp_path), tok, block_size=32,
+                                      synthetic=True, n_synthetic=64)
+        assert set(np.unique(data['train']['label'])) <= {0, 1}
+        assert data['train']['input_ids'].shape == (64, 32)

@@ -209,3 +209,14 @@ class TestARKVCache:
                          batch_size=B, length=L, bos_token_id=0,
                          decode_cfg=cfg)
         np.testing.assert_array_equal(np.asarray(slow), np.asarray(fast))
+
+
+def test_fused_flag_falls_back_on_cpu():
+    """fused=True must silently use the jnp path off-TPU and match the
+    unfused trajectory exactly (same keys)."""
+    apply_fn, params = _make_model()
+    a = diffusion_sample(MDLM, SamplerSpec(steps=6, fused=False),
+                         apply_fn, params, KEY, batch_size=B, length=L)
+    b = diffusion_sample(MDLM, SamplerSpec(steps=6, fused=True),
+                         apply_fn, params, KEY, batch_size=B, length=L)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -175,3 +175,56 @@ class TestTrainStep:
         # At least one large param must be sharded over fsdp.
         specs = [s.spec for s in jax.tree.leaves(sh)]
         assert any('fsdp' in str(s) for s in specs)
+
+
+class TestShardedSampling:
+    def test_sample_sharded_over_data_axis(self):
+        from ddg_tpu.diffusion import DiffusionSpec
+        from ddg_tpu.models import DIT, DITConfig, make_model_apply
+        from ddg_tpu.ops.noise_schedules import LogLinearNoise
+        from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, \
+            diffusion_sample
+
+        mesh = mesh_lib.make_mesh(num_data=8, num_fsdp=1)
+        cfg = dataclasses.replace(MODEL_CFG, num_classes=2)
+        model = DIT(cfg)
+        x = jax.random.randint(KEY, (B, L), 0, V)
+        params = model.init(KEY, x, jnp.ones((B,)),
+                            jnp.zeros((B,), jnp.int32))['params']
+        spec = dataclasses.replace(SPEC, num_classes=2)
+        apply_fn = make_model_apply(model)
+        sampler = SamplerSpec(steps=4, use_cache=False)
+        guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=1)
+
+        def sample_fn(p, key):
+            cond = jnp.ones((16,), jnp.int32)
+            return diffusion_sample(spec, sampler, apply_fn, p, key,
+                                    batch_size=16, length=L,
+                                    guidance=guidance, cond=cond)
+
+        jitted, p = mesh_lib.shard_sample_fn(mesh, sample_fn, params)
+        out = jitted(p, KEY)
+        assert out.shape == (16, L)
+        # output actually sharded over the data axis
+        assert len(out.sharding.device_set) == 8
+        assert not bool((out == MASK).any())
+
+
+class TestGradAccumulation:
+    def test_accum_step_runs_and_counts_once(self):
+        apply_fn, params = _setup()
+        optim = OptimSpec(lr=1e-3, num_warmup_steps=0)
+        avg = AveragingSpec.ema(0.99)
+        state = init_train_state(KEY, params, optim, avg)
+        step = jax.jit(make_train_step(SPEC, apply_fn, optim, avg,
+                                       accum_steps=4))
+        batch = {
+            'input_ids': jax.random.randint(KEY, (4, B, L), 0, V - 1),
+            'attention_mask': jnp.ones((4, B, L), jnp.float32),
+        }
+        state, metrics = step(state, batch)
+        # one optimizer step despite 4 micro-batches
+        assert int(state.step) == 1
+        assert int(state.averaging.num_updates) == 1
+        assert np.isfinite(float(metrics['loss']))
+        assert float(metrics['token_count']) == 4 * B * L
