@@ -40,6 +40,9 @@ def main():
                    help='use the fused Pallas denoise-step kernel')
     p.add_argument('--bf16-head', action='store_true',
                    help='bf16 vocab-projection matmul (full MXU rate)')
+    p.add_argument('--first-hitting', action='store_true',
+                   help='event-driven sampler: L forwards instead of '
+                        'T NFEs (exact continuous-time limit)')
     args = p.parse_args()
 
     from __graft_entry__ import _flagship
@@ -69,7 +72,8 @@ def main():
     # sampling.use_cache); valid for MDLM because decoded tokens are
     # frozen — cached steps skip the denoiser forward via lax.cond.
     sampler = SamplerSpec(steps=args.steps, use_cache=not args.no_cache,
-                          fused=args.fused)
+                          fused=args.fused,
+                          first_hitting=args.first_hitting)
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
     cond = jnp.zeros((args.batch,), jnp.int32)
 
@@ -94,9 +98,11 @@ def main():
     n_chips = jax.device_count()
     samples_per_sec_chip = args.batch / dt / n_chips
     print(json.dumps({
-        'metric': f'LM1B D-CFG samples/sec/chip (T={args.steps}, '
-                  f'B={args.batch}, '
-                  f'{"tiny" if args.quick else "DiT-small"})',
+        'metric': (f'LM1B D-CFG samples/sec/chip ('
+                   + ('first-hitting' if args.first_hitting
+                      else f'T={args.steps}')
+                   + f', B={args.batch}, '
+                   + ('tiny' if args.quick else 'DiT-small') + ')'),
         'value': round(samples_per_sec_chip, 4),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(

@@ -256,10 +256,11 @@ class DiMambaBlock(nn.Module):
         if gate is not None:
             h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
             h = gate[:, None] * h + residual.astype(h.dtype)
-            # reference: gated output becomes the next hidden state and
-            # residual accumulates (bias_dropout_add_scale with
-            # residual, dimamba.py:475-482)
-            return h, None
+            # Reference parity (dimamba.py:461-482): the gated branch
+            # returns (residual + gate*mixer, residual) and the next
+            # block adds them AGAIN (residual' = hidden + residual) —
+            # the residual stream deliberately re-accumulates.
+            return h, residual
         return h, residual
 
 

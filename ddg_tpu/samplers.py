@@ -69,6 +69,12 @@ class SamplerSpec:
     # ops/fused_sampling.py). Distribution-equivalent to the unfused
     # chain; ~1 HBM pass over (B, L, V) instead of ~6.
     fused: bool = False
+    # First-hitting sampler (absorbing state only): the exact T->infty
+    # limit of the reverse process — iid U(0,1) decode times, one
+    # denoiser forward per decode event => L forwards total instead of
+    # ~T NFEs. The reference's NFE cache (diffusion.py:1371-1374)
+    # approximates this; here it is exact and static-shaped.
+    first_hitting: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -396,6 +402,12 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
                      ) -> jax.Array:
     """Ancestral reverse-diffusion sampling, one `lax.scan` over steps
     (reference `_diffusion_sample`, diffusion.py:1281-1376)."""
+    if (sampler.first_hitting and spec.diffusion == 'absorbing_state'
+            and (guidance is None or guidance.method == 'cfg')):
+        return first_hitting_sample(
+            spec, sampler, model_apply, params, key,
+            batch_size=batch_size, length=length, guidance=guidance,
+            cond=cond)
     prior_key, scan_key = jax.random.split(key)
     x_init = fp.sample_prior(prior_key, (batch_size, length),
                              diffusion=spec.diffusion,
@@ -454,6 +466,78 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
     init = (x_init, cache0, jnp.asarray(False), scan_key)
     (x_final, _, _, _), _ = jax.lax.scan(
         step_fn, init, jnp.arange(sampler.steps))
+    return x_final
+
+
+def first_hitting_sample(spec: DiffusionSpec, sampler: SamplerSpec,
+                         model_apply, params, key, *, batch_size: int,
+                         length: int,
+                         guidance: Optional[GuidanceSpec] = None,
+                         cond: Optional[jax.Array] = None) -> jax.Array:
+    """Event-driven MDLM sampling (T->infty exact).
+
+    For absorbing-state diffusion with any schedule, each token's decode
+    time tau has survival P(masked at t) = move_chance(t)/move_chance(1);
+    for log-linear, tau ~ U(0, 1) i.i.d. Processing events in decreasing
+    tau order and sampling the decoded token from x_theta at sigma(tau)
+    reproduces the reverse process exactly in the continuous-time limit
+    (the 'any-order autoregressive' view of MDLM; cf. the reference's
+    cache which skips no-event steps, diffusion.py:1371-1374).
+
+    One forward per event => exactly L NFEs (2L logits rows under CFG via
+    the batched cond/uncond forward).
+    """
+    assert spec.diffusion == 'absorbing_state', (
+        'first-hitting sampling is defined for absorbing-state '
+        'diffusion')
+    tau_key, scan_key = jax.random.split(key)
+    B, L = batch_size, length
+    tau = jax.random.uniform(tau_key, (B, L), minval=sampler.eps,
+                             maxval=1.0)
+    # Descending decode order per sample.
+    order = jnp.argsort(-tau, axis=-1)                  # (B, L)
+    times = jnp.take_along_axis(tau, order, axis=-1)    # (B, L) desc
+    xt0 = jnp.full((B, L), spec.mask_index, jnp.int32)
+    method = guidance.method if guidance is not None else None
+    gamma = guidance.gamma if guidance is not None else None
+
+    def logits_at(xt, sigma_t):
+        if method == 'cfg' and gamma not in (None, 0.0, 1.0):
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            s2 = jnp.concatenate([sigma_t, sigma_t], axis=0)
+            c2 = jnp.concatenate(
+                [cond, jnp.full_like(cond, spec.num_classes)], axis=0)
+            lp2 = log_x_theta(spec, model_apply, params, x2, s2,
+                              cond=c2)
+            mixed = gamma * lp2[:B] + (1 - gamma) * lp2[B:]
+            return jax.nn.log_softmax(mixed, axis=-1)
+        use_cond = None
+        if method == 'cfg':
+            use_cond = (cond if gamma == 1.0
+                        else jnp.full_like(cond, spec.num_classes))
+        return log_x_theta(spec, model_apply, params, xt, sigma_t,
+                           cond=use_cond)
+
+    def step_fn(carry, k):
+        xt, key_c = carry
+        key_c, skey = jax.random.split(key_c)
+        t_k = times[:, k]                                # (B,)
+        sigma_t = spec.noise.total_noise(t_k)
+        log_probs = logits_at(xt, sigma_t)               # (B, L, V)
+        pos = order[:, k]                                # (B,)
+        row = jnp.take_along_axis(
+            log_probs, pos[:, None, None], axis=1).squeeze(1)  # (B, V)
+        g = jax.random.gumbel(skey, row.shape, dtype=row.dtype)
+        tok = S.sample_token(
+            row, g,
+            low_confidence_sampling=sampler.low_confidence_sampling,
+            low_confidence_threshold=sampler.low_confidence_threshold)
+        onehot = jax.nn.one_hot(pos, L, dtype=jnp.bool_)
+        xt = jnp.where(onehot, tok[:, None], xt)
+        return (xt, key_c), None
+
+    (x_final, _), _ = jax.lax.scan(step_fn, (xt0, scan_key),
+                                   jnp.arange(L))
     return x_final
 
 

@@ -187,3 +187,40 @@ class TestGuidedSamplingWithClassifier:
                                   cbg_chunk=64),
             classifier_apply=oracle_clf, classifier_params=None)
         assert float((guided == 7).mean()) > float((base == 7).mean())
+
+
+class TestFudgeARSampling:
+    def test_fudge_guided_ar(self):
+        import dataclasses as dc
+        cfg = dc.replace(CLF_CFG, causal=True)
+        model_cfg = dc.replace(CLF_CFG, causal=True, use_adaLN=False)
+        from ddg_tpu.models import DIT
+        from ddg_tpu.samplers import ar_sample
+        model = DIT(model_cfg)
+        x = jax.random.randint(KEY, (B, L), 0, V)
+        params = model.init(KEY, x, None)['params']
+        params = jax.tree.map(
+            lambda p: p + 0.02 * jax.random.normal(KEY, p.shape), params)
+        apply_fn = make_model_apply(model)
+
+        clf = DITClassifier(cfg, num_classes=NC, pooling='no_pooling')
+        cparams = clf.init(KEY, x, None)['params']
+
+        def clf_apply(p, xx, sigma, x_emb=None):
+            return clf.apply({'params': p}, xx, None)
+
+        from ddg_tpu.diffusion import DiffusionSpec
+        from ddg_tpu.ops.noise_schedules import LogLinearNoise
+        from ddg_tpu.samplers import GuidanceSpec, SamplerSpec
+        spec = DiffusionSpec(diffusion='absorbing_state',
+                             parameterization='ar',
+                             noise=LogLinearNoise(), vocab_size=V,
+                             mask_index=MASK)
+        out = ar_sample(
+            spec, SamplerSpec(), apply_fn, params, KEY, batch_size=B,
+            length=L, bos_token_id=2,
+            guidance=GuidanceSpec(method='fudge', gamma=2.0,
+                                  condition=1, topk=5),
+            classifier_apply=clf_apply, classifier_params=cparams)
+        assert out.shape == (B, L)
+        assert bool((out[:, 0] == 2).all())

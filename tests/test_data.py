@@ -221,3 +221,13 @@ class TestLM1BAmazonSynthetic:
                                       synthetic=True, n_synthetic=64)
         assert set(np.unique(data['train']['label'])) <= {0, 1}
         assert data['train']['input_ids'].shape == (64, 32)
+
+
+def test_prefetch_to_device():
+    from ddg_tpu.data.loader import prefetch_to_device
+    batches = [{'x': np.full((2, 3), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b['x']),
+                                      batches[i]['x'])

@@ -220,3 +220,59 @@ def test_fused_flag_falls_back_on_cpu():
     b = diffusion_sample(MDLM, SamplerSpec(steps=6, fused=True),
                          apply_fn, params, KEY, batch_size=B, length=L)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFirstHittingSampler:
+    def test_decodes_everything(self):
+        apply_fn, params = _make_model()
+        sampler = SamplerSpec(first_hitting=True)
+        out = jax.jit(lambda k: diffusion_sample(
+            MDLM, sampler, apply_fn, params, k, batch_size=B,
+            length=L))(KEY)
+        assert out.shape == (B, L)
+        assert not bool((out == MASK).any())
+
+    def test_cfg_variant(self):
+        spec = _spec(num_classes=4)
+        apply_fn, params = _make_model(num_classes=4)
+        out = diffusion_sample(
+            spec, SamplerSpec(first_hitting=True), apply_fn, params,
+            KEY, batch_size=B, length=L,
+            guidance=GuidanceSpec(method='cfg', gamma=2.0, condition=1),
+            cond=jnp.ones((B,), jnp.int32))
+        assert not bool((out == MASK).any())
+
+    def test_matches_ancestral_distribution_oracle(self):
+        """With a context-free oracle denoiser both samplers draw iid
+        tokens from the same distribution; empirical marginals must
+        agree."""
+        probs = jnp.asarray([0.45, 0.3, 0.12, 0.05, 0.04, 0.02, 0.01,
+                             0.005, 0.003, 0.002, 0.0])
+        probs = probs / probs.sum()
+
+        def oracle_apply(params, x, sigma, cond=None, x_emb=None, *,
+                         train=False, rng=None,
+                         return_hidden_states=False):
+            logits = jnp.log(jnp.broadcast_to(
+                probs, (*x.shape, V)) + 1e-12)
+            return logits
+
+        n = 15
+        fh_counts = np.zeros(V)
+        an_counts = np.zeros(V)
+        for i in range(n):
+            k = jax.random.fold_in(KEY, i)
+            fh = diffusion_sample(MDLM, SamplerSpec(first_hitting=True),
+                                  oracle_apply, None, k, batch_size=4,
+                                  length=L)
+            an = diffusion_sample(MDLM,
+                                  SamplerSpec(steps=64, use_cache=False),
+                                  oracle_apply, None, k, batch_size=4,
+                                  length=L)
+            fh_counts += np.bincount(np.asarray(fh).ravel(), minlength=V)
+            an_counts += np.bincount(np.asarray(an).ravel(), minlength=V)
+        fh_p = fh_counts / fh_counts.sum()
+        an_p = an_counts / an_counts.sum()
+        np.testing.assert_allclose(fh_p, an_p, atol=0.04)
+        np.testing.assert_allclose(fh_p[:3], np.asarray(probs)[:3],
+                                   atol=0.04)
