@@ -129,15 +129,22 @@ def accuracy(logits: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def make_classifier_train_step(spec: ClassifierSpec, classifier_apply,
-                               optim_spec, averaging_spec):
+                               optim_spec, averaging_spec,
+                               frozen_keys=()):
     """Classifier training step with the shared runtime
-    (optimizer/EMA parity with the diffusion train step)."""
+    (optimizer/EMA parity with the diffusion train step).
+
+    frozen_keys: top-level param-tree keys whose gradients are zeroed —
+    the frozen pretrained-encoder mode for PPLM/NOS classifiers
+    (reference main.py:218-234: encoder params get requires_grad=False).
+    """
     from ddg_tpu.runtime import averaging as avg_lib
     from ddg_tpu.runtime.optim import make_optimizer, make_schedule
     from ddg_tpu.runtime.train_state import TrainState
 
     tx = make_optimizer(optim_spec)
     schedule = make_schedule(optim_spec)
+    frozen_keys = frozenset(frozen_keys)
 
     def train_step(state: TrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
@@ -148,6 +155,10 @@ def make_classifier_train_step(spec: ClassifierSpec, classifier_apply,
 
         (loss, logits), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
+        if frozen_keys:
+            grads = {k: (jax.tree.map(jnp.zeros_like, g)
+                         if k in frozen_keys else g)
+                     for k, g in grads.items()}
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params)
         params = optax.apply_updates(state.params, updates)

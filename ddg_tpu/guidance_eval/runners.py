@@ -180,3 +180,71 @@ def _write_results(path: str, results: List[Dict]) -> None:
         w.writeheader()
         for r in results:
             w.writerow({k: r.get(k) for k in keys})
+
+
+def train_eval_discriminator(real_texts, fake_texts, tokenizer, *,
+                             length: int, vocab_size: int,
+                             steps: int = 200, seed: int = 0,
+                             hidden: int = 64, n_blocks: int = 2):
+    """Train a fresh real-vs-generated discriminator and return a
+    scoring callable (reference ten_species_eval.py:408-523 trains a
+    new discriminator per eval and reports AUROC).
+
+    Returns score_fn(texts) -> real-logit scores (higher = more real).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ddg_tpu.models import DITClassifier, DITConfig, \
+        make_classifier_apply
+    from ddg_tpu.runtime.averaging import AveragingSpec
+    from ddg_tpu.runtime.optim import OptimSpec
+    from ddg_tpu.runtime.train_state import init_train_state
+    from ddg_tpu.classifier import (ClassifierSpec,
+                                    make_classifier_train_step)
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+
+    def encode(texts):
+        out = np.zeros((len(texts), length), np.int32)
+        for i, t in enumerate(texts):
+            ids = tokenizer.encode(t, add_special_tokens=False)[:length]
+            out[i, :len(ids)] = ids
+        return out
+
+    x = np.concatenate([encode(real_texts), encode(fake_texts)])
+    y = np.concatenate([np.ones(len(real_texts), np.int32),
+                        np.zeros(len(fake_texts), np.int32)])
+    cfg = DITConfig(hidden_size=hidden, cond_dim=32, length=length,
+                    n_blocks=n_blocks, n_heads=4, dropout=0.0,
+                    vocab_size=vocab_size,
+                    compute_dtype=jnp.float32)
+    clf = DITClassifier(cfg, num_classes=2)
+    key = jax.random.PRNGKey(seed)
+    params = clf.init(key, jnp.asarray(x[:1]), jnp.ones((1,)))['params']
+    apply_fn = make_classifier_apply(clf)
+    spec = ClassifierSpec(diffusion='absorbing_state',
+                          parameterization='subs',
+                          noise=LogLinearNoise(), vocab_size=vocab_size,
+                          mask_index=vocab_size - 1, num_classes=2,
+                          sampling_eps=0.999)  # near-clean inputs
+    optim = OptimSpec(lr=1e-3, num_warmup_steps=0)
+    avg = AveragingSpec(kind='none')
+    state = init_train_state(key, params, optim, avg)
+    step = jax.jit(make_classifier_train_step(spec, apply_fn, optim,
+                                              avg))
+    rs = np.random.RandomState(seed)
+    bs = min(32, len(x))
+    for _ in range(steps):
+        idx = rs.choice(len(x), bs, replace=False)
+        batch = {'input_ids': jnp.asarray(x[idx]),
+                 'attention_mask': jnp.ones((bs, length), jnp.float32),
+                 'label': jnp.asarray(y[idx])}
+        state, _ = step(state, batch)
+
+    def score_fn(texts):
+        enc = jnp.asarray(encode(texts))
+        logits = apply_fn(state.params, enc,
+                          jnp.zeros((len(texts),)))
+        return np.asarray(logits[:, 1] - logits[:, 0])
+
+    return score_fn

@@ -410,6 +410,7 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
              if _wants_cond(config) else None)
     params = model.init(init_rng, jnp.asarray(ex_ids[:1]), sigma0,
                         cond0)['params']
+    params = _maybe_load_pretrained(config, params)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(params))
     LOGGER.info(f'Model parameters: {n_params / 1e6:.2f}M')
@@ -635,9 +636,33 @@ def train_classifier(config: Config):
     sigma0 = None if clf_spec.parameterization == 'ar' else jnp.ones((1,))
     params = model.init(rng, jnp.asarray(
         ex['input_ids'][:1].astype(np.int32)), sigma0)['params']
+
+    # PPLM/NOS classifiers reuse the frozen pretrained diffusion
+    # encoder (reference main.py:218-234): copy matching trunk params
+    # (vocab_embed / sigma_map / block_*) from the diffusion checkpoint
+    # and freeze them.
+    frozen_keys = ()
+    if bool(config.get('is_pplm_classifier', False)):
+        d_tok, d_spec, d_apply, d_state = _restore_for_eval(config)
+        use_ema = bool(config.classifier_model.get('use_encoder_ema',
+                                                   True))
+        enc = (averaged_params(d_state.averaging, d_state.params)
+               if use_ema else d_state.params)
+        shared = [k for k in params
+                  if k in enc and (k.startswith('block_')
+                                   or k in ('vocab_embed',
+                                            'sigma_map'))]
+        for k in shared:
+            params[k] = enc[k]
+        if bool(config.classifier_model.get('freeze_encoder', True)):
+            frozen_keys = tuple(shared)
+        LOGGER.info(f'PPLM/NOS classifier: shared encoder keys '
+                    f'{sorted(shared)}, frozen={bool(frozen_keys)}')
+
     state = init_train_state(rng, params, optim_spec, avg_spec)
     step_fn = jax.jit(make_classifier_train_step(
-        clf_spec, apply_fn, optim_spec, avg_spec))
+        clf_spec, apply_fn, optim_spec, avg_spec,
+        frozen_keys=frozen_keys))
 
     save_dir = os.path.join(str(config.checkpointing.save_dir),
                             'classifier_checkpoints')
@@ -697,6 +722,29 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
                             classifier_params=classifier_params)
 
 
+def _maybe_load_pretrained(config: Config, params):
+    """backbone=hf_dit with a pretrained path loads converted reference
+    weights (reference diffusion.py:130-132 AutoModelForMaskedLM)."""
+    if config.backbone != 'hf_dit':
+        return params
+    path = config.model.get('pretrained_model_name_or_path')
+    if not path or not os.path.isdir(str(path)):
+        LOGGER.warning(
+            'backbone=hf_dit without a local pretrained dir; '
+            'training from scratch')
+        return params
+    from ddg_tpu.convert import (convert_dit_params,
+                                 load_hf_udlm_state_dict)
+    state = load_hf_udlm_state_dict(str(path))
+    converted = convert_dit_params(state,
+                                   n_blocks=int(config.model.n_blocks))
+    for k in list(params.keys()):
+        if k in converted:
+            params[k] = jax.tree.map(jnp.asarray, converted[k])
+    LOGGER.info(f'Loaded pretrained HF UDLM weights from {path}')
+    return params
+
+
 def _restore_for_eval(config: Config):
     tokenizer = build_tokenizer(config)
     spec = build_diffusion_spec(config, tokenizer)
@@ -707,6 +755,7 @@ def _restore_for_eval(config: Config):
     cond0 = jnp.zeros((1,), jnp.int32) if _wants_cond(config) else None
     x0 = jnp.zeros((1, length), jnp.int32)
     params = model.init(rng, x0, sigma0, cond0)['params']
+    params = _maybe_load_pretrained(config, params)
     optim_spec = build_optim_spec(config)
     avg_spec = build_averaging_spec(config)
     state = init_train_state(rng, params, optim_spec, avg_spec)

@@ -21,23 +21,18 @@ def gumbel_noise_like(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
 def low_confidence_mask(probs: jax.Array, threshold: float) -> jax.Array:
     """Boolean mask of the bottom-`threshold` cumulative probability mass.
 
-    Sort-free formulation of the reference's sort/cumsum/scatter
-    (diffusion.py:1741-1745): a class v is kept iff the total mass of all
-    classes with probability strictly below p_v — plus the mass of
-    earlier-indexed ties, to match the stable sort — is <= threshold.
-    O(V^2) in exact form; implemented with a rank matrix which XLA maps to
-    one (B*L, V, V) batched matmul-like reduction. For the vocab sizes in
-    play (<= ~30K but guidance uses it at <= 256 classes; text uses it
-    rarely) this is acceptable, and it is scan/jit-friendly with static
-    shapes.
+    Matches the reference's stable-sort formulation
+    (diffusion.py:1741-1745): ascending sort, inclusive cumsum, keep
+    classes whose cumulative mass is <= threshold, scattered back to
+    vocab order. O(V log V) via argsort + take_along_axis inverse
+    permutation — jit/scan-friendly static shapes at any vocab size.
     """
-    # cum[v] = sum_u p_u * [p_u < p_v or (p_u == p_v and u <= v)]
-    p = probs
-    less = p[..., None, :] < p[..., :, None]  # (..., V, V): u-axis last
-    idx = jnp.arange(p.shape[-1])
-    tie = (p[..., None, :] == p[..., :, None]) & (idx[None, :] <= idx[:, None])
-    cum = jnp.where(less | tie, p[..., None, :], 0.0).sum(-1)
-    return cum <= threshold
+    order = jnp.argsort(probs, axis=-1, stable=True)
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = cum <= threshold
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(keep_sorted, inv, axis=-1)
 
 
 def sample_categorical(key: jax.Array, probs: jax.Array, *,

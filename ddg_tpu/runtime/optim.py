@@ -39,6 +39,9 @@ class OptimSpec:
 
 
 def constant_warmup_schedule(lr: float, num_warmup_steps: int):
+    if num_warmup_steps <= 0:
+        return lambda step: jnp.asarray(lr, jnp.float32)
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = step / jnp.maximum(1.0, num_warmup_steps)

@@ -224,3 +224,25 @@ class TestFudgeARSampling:
             classifier_apply=clf_apply, classifier_params=cparams)
         assert out.shape == (B, L)
         assert bool((out[:, 0] == 2).all())
+
+
+def test_frozen_keys_zero_grads():
+    """frozen_keys must keep the listed top-level trees unchanged."""
+    from ddg_tpu.runtime.train_state import init_train_state
+    apply_fn, params = _clf()
+    optim = OptimSpec(lr=1e-2, num_warmup_steps=0)
+    avg = AveragingSpec(kind='none')
+    state = init_train_state(KEY, params, optim, avg)
+    frozen = tuple(k for k in params if k.startswith('block_'))
+    step = jax.jit(make_classifier_train_step(
+        CLF_SPEC, apply_fn, optim, avg, frozen_keys=frozen))
+    state2, _ = step(state, _labeled_batch())
+    for k in params:
+        same = all(
+            bool(jnp.array_equal(a, b)) for a, b in zip(
+                jax.tree.leaves(state.params[k]),
+                jax.tree.leaves(state2.params[k])))
+        if k in frozen:
+            assert same, f'{k} should be frozen'
+        elif k != 'sigma_map':  # zero grad at init (zero-init adaLN)
+            assert not same, f'{k} should train'
