@@ -660,8 +660,20 @@ def ar_sample(spec: DiffusionSpec, sampler: SamplerSpec, model_apply,
 
 def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
                   bos_token_id, guidance, cond, decode_cfg):
-    """KV-cache AR decoding; CFG runs cond+uncond as one 2B batch."""
-    from ddg_tpu.models.dit_decode import decode_step, init_cache
+    """Stateful AR decoding; CFG runs cond+uncond as one 2B batch.
+
+    decode_cfg selects the backbone decode kernel: DITConfig -> KV-cache
+    attention decode; DiMambaConfig -> conv+SSM state decode (the
+    reference's InferenceParams path, diffusion.py:1114-1124)."""
+    from ddg_tpu.models.dimamba import DiMambaConfig
+    if isinstance(decode_cfg, DiMambaConfig):
+        from ddg_tpu.models.dimamba_decode import decode_step as _ds, \
+            init_cache
+        # DiMamba decode has no positional argument.
+        def decode_step(cfg, prm, cache, tok, pos, cond=None):
+            return _ds(cfg, prm, cache, tok, cond=cond)
+    else:
+        from ddg_tpu.models.dit_decode import decode_step, init_cache
 
     num_pred = length - 1
     # Same key split as the fallback path so both paths draw identical
