@@ -904,6 +904,8 @@ def lcsc_search(config: Config) -> dict:
 
 
 def main(argv=None):
+    from ddg_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
     argv = argv if argv is not None else sys.argv[1:]
     config_dir = os.environ.get(
         'DDG_CONFIG_DIR',

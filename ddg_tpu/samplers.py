@@ -490,6 +490,11 @@ def first_hitting_sample(spec: DiffusionSpec, sampler: SamplerSpec,
     assert spec.diffusion == 'absorbing_state', (
         'first-hitting sampling is defined for absorbing-state '
         'diffusion')
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    assert isinstance(spec.noise, LogLinearNoise), (
+        'uniform decode times are exact for the log-linear schedule '
+        '(move chance linear in t); other schedules need the inverse '
+        'move-chance transform')
     tau_key, scan_key = jax.random.split(key)
     B, L = batch_size, length
     tau = jax.random.uniform(tau_key, (B, L), minval=sampler.eps,
