@@ -92,7 +92,8 @@ def main():
         return diffusion_sample(
             spec, sampler, apply_fn, params, key,
             batch_size=args.batch, length=cfg.length,
-            guidance=guidance, cond=cond)
+            guidance=guidance, cond=cond,
+            dit_cfg=cfg if args.first_hitting else None)
 
     # Warmup/compile
     out = run(params, jax.random.PRNGKey(1))

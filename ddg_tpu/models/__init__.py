@@ -18,11 +18,12 @@ def make_model_apply(module):
 
     def apply(params, x, sigma, cond=None, x_emb=None, *,
               train: bool = False, rng=None,
-              return_hidden_states: bool = False):
+              return_hidden_states: bool = False, **kwargs):
         rngs = {'dropout': rng} if (train and rng is not None) else None
         return module.apply(
             {'params': params}, x, sigma, cond, x_emb, train=train,
-            return_hidden_states=return_hidden_states, rngs=rngs)
+            return_hidden_states=return_hidden_states, rngs=rngs,
+            **kwargs)
 
     return apply
 

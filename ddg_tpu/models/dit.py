@@ -188,7 +188,8 @@ class DIT(nn.Module):
 
     @nn.compact
     def __call__(self, indices, sigma, cond=None, x_emb=None, *,
-                 train: bool = False, return_hidden_states: bool = False):
+                 train: bool = False, return_hidden_states: bool = False,
+                 skip_head: bool = False):
         cfg = self.cfg
         if cfg.causal:
             c = None
@@ -222,6 +223,12 @@ class DIT(nn.Module):
             x = x_emb.astype(cfg.compute_dtype)
 
         hidden = x
+        if skip_head:
+            # Trunk-only forward: callers that need logits at a few
+            # positions apply the head via `dit_head_fn` (samplers) —
+            # skips the (L x V) projection entirely.
+            return hidden, (c if c is not None else jnp.zeros(
+                (x.shape[0], cfg.cond_dim), cfg.compute_dtype))
         # Output head: fp32 logits (dtype policy; reference runs the head
         # in bf16 autocast but our parity target is the fp32 math).
         h = AdaLNLayerNorm(cfg.hidden_size, name='norm_final')(x)
@@ -302,3 +309,26 @@ class DITClassifier(nn.Module):
                 f'`{self.pooling}` method not implemented.')
         return nn.Dense(self.num_classes, dtype=jnp.float32,
                         name='output_layer')(x.astype(jnp.float32))
+
+
+def dit_head_fn(cfg: DITConfig, params, hidden_rows, c):
+    """Apply the DIT output head to gathered hidden rows (B, D).
+
+    Reproduces the final layer (norm_final + adaLN + output_linear)
+    outside the module — used by the first-hitting sampler to project
+    only the positions being decoded.
+    """
+    h32 = hidden_rows.astype(jnp.float32)
+    mean = h32.mean(-1, keepdims=True)
+    var = h32.var(-1, keepdims=True)
+    h = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * params['norm_final']['weight']).astype(hidden_rows.dtype)
+    if cfg.use_adaLN and 'final_adaLN' in params:
+        mod = c @ params['final_adaLN']['kernel'] \
+            + params['final_adaLN']['bias']
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        h = h * (1 + scale) + shift
+    h = h.astype(cfg.logits_dtype)
+    logits = h @ params['output_linear']['kernel'].astype(
+        cfg.logits_dtype) + params['output_linear']['bias']
+    return logits.astype(jnp.float32)

@@ -398,8 +398,8 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
                      length: int,
                      guidance: Optional[GuidanceSpec] = None,
                      cond: Optional[jax.Array] = None,
-                     classifier_apply=None, classifier_params=None
-                     ) -> jax.Array:
+                     classifier_apply=None, classifier_params=None,
+                     dit_cfg=None) -> jax.Array:
     """Ancestral reverse-diffusion sampling, one `lax.scan` over steps
     (reference `_diffusion_sample`, diffusion.py:1281-1376)."""
     if (sampler.first_hitting and spec.diffusion == 'absorbing_state'
@@ -407,7 +407,7 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
         return first_hitting_sample(
             spec, sampler, model_apply, params, key,
             batch_size=batch_size, length=length, guidance=guidance,
-            cond=cond)
+            cond=cond, dit_cfg=dit_cfg)
     prior_key, scan_key = jax.random.split(key)
     x_init = fp.sample_prior(prior_key, (batch_size, length),
                              diffusion=spec.diffusion,
@@ -473,7 +473,8 @@ def first_hitting_sample(spec: DiffusionSpec, sampler: SamplerSpec,
                          model_apply, params, key, *, batch_size: int,
                          length: int,
                          guidance: Optional[GuidanceSpec] = None,
-                         cond: Optional[jax.Array] = None) -> jax.Array:
+                         cond: Optional[jax.Array] = None,
+                         dit_cfg=None) -> jax.Array:
     """Event-driven MDLM sampling (T->infty exact).
 
     For absorbing-state diffusion with any schedule, each token's decode
@@ -506,6 +507,41 @@ def first_hitting_sample(spec: DiffusionSpec, sampler: SamplerSpec,
     method = guidance.method if guidance is not None else None
     gamma = guidance.gamma if guidance is not None else None
 
+    # Trunk-only + per-position head: the head's (L, V) projection is
+    # skipped; only the decoded row is projected (saves the entire
+    # vocab matmul for L-1 of L positions per event).
+    use_head_fn = dit_cfg is not None
+
+    def row_log_probs(xt, sigma_t, pos):
+        from ddg_tpu.models.dit import dit_head_fn
+        mask_neg = fp.NEG_INFINITY
+
+        def one(xt_in, sig_in, cond_in, pos_in):
+            hidden, c = model_apply(
+                params, xt_in, process_sigma(spec, sig_in), cond_in,
+                None, train=False, rng=None, skip_head=True)
+            rows = jnp.take_along_axis(
+                hidden, pos_in[:, None, None], axis=1).squeeze(1)
+            logits = dit_head_fn(dit_cfg, params, rows, c)
+            v_ids = jnp.arange(logits.shape[-1])
+            logits = jnp.where(v_ids[None] == spec.mask_index,
+                               logits + mask_neg, logits)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        if method == 'cfg' and gamma not in (None, 0.0, 1.0):
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            s2 = jnp.concatenate([sigma_t, sigma_t], axis=0)
+            c2 = jnp.concatenate(
+                [cond, jnp.full_like(cond, spec.num_classes)], axis=0)
+            lp2 = one(x2, s2, c2, jnp.concatenate([pos, pos], axis=0))
+            mixed = gamma * lp2[:B] + (1 - gamma) * lp2[B:]
+            return jax.nn.log_softmax(mixed, axis=-1)
+        use_cond = None
+        if method == 'cfg':
+            use_cond = (cond if gamma == 1.0
+                        else jnp.full_like(cond, spec.num_classes))
+        return one(xt, sigma_t, use_cond, pos)
+
     def logits_at(xt, sigma_t):
         if method == 'cfg' and gamma not in (None, 0.0, 1.0):
             x2 = jnp.concatenate([xt, xt], axis=0)
@@ -528,10 +564,13 @@ def first_hitting_sample(spec: DiffusionSpec, sampler: SamplerSpec,
         key_c, skey = jax.random.split(key_c)
         t_k = times[:, k]                                # (B,)
         sigma_t = spec.noise.total_noise(t_k)
-        log_probs = logits_at(xt, sigma_t)               # (B, L, V)
         pos = order[:, k]                                # (B,)
-        row = jnp.take_along_axis(
-            log_probs, pos[:, None, None], axis=1).squeeze(1)  # (B, V)
+        if use_head_fn:
+            row = row_log_probs(xt, sigma_t, pos)        # (B, V)
+        else:
+            log_probs = logits_at(xt, sigma_t)           # (B, L, V)
+            row = jnp.take_along_axis(
+                log_probs, pos[:, None, None], axis=1).squeeze(1)
         g = jax.random.gumbel(skey, row.shape, dtype=row.dtype)
         tok = S.sample_token(
             row, g,

@@ -257,22 +257,49 @@ class TestFirstHittingSampler:
                 probs, (*x.shape, V)) + 1e-12)
             return logits
 
-        n = 15
-        fh_counts = np.zeros(V)
-        an_counts = np.zeros(V)
-        for i in range(n):
-            k = jax.random.fold_in(KEY, i)
-            fh = diffusion_sample(MDLM, SamplerSpec(first_hitting=True),
-                                  oracle_apply, None, k, batch_size=4,
-                                  length=L)
-            an = diffusion_sample(MDLM,
-                                  SamplerSpec(steps=64, use_cache=False),
-                                  oracle_apply, None, k, batch_size=4,
-                                  length=L)
-            fh_counts += np.bincount(np.asarray(fh).ravel(), minlength=V)
-            an_counts += np.bincount(np.asarray(an).ravel(), minlength=V)
+        fh = diffusion_sample(MDLM, SamplerSpec(first_hitting=True),
+                              oracle_apply, None, KEY, batch_size=64,
+                              length=L)
+        an = diffusion_sample(MDLM,
+                              SamplerSpec(steps=64, use_cache=False),
+                              oracle_apply, None, KEY, batch_size=64,
+                              length=L)
+        fh_counts = np.bincount(np.asarray(fh).ravel(), minlength=V)
+        an_counts = np.bincount(np.asarray(an).ravel(), minlength=V)
         fh_p = fh_counts / fh_counts.sum()
         an_p = an_counts / an_counts.sum()
         np.testing.assert_allclose(fh_p, an_p, atol=0.04)
         np.testing.assert_allclose(fh_p[:3], np.asarray(probs)[:3],
                                    atol=0.04)
+
+
+def test_first_hitting_per_position_head_matches():
+    """The trunk-only + per-position-head fast path must reproduce the
+    full-head first-hitting trajectory (same keys, fp32)."""
+    import dataclasses as dc
+    cfg = dc.replace(MODEL_CFG)
+    apply_fn, params = _make_model()
+    a = diffusion_sample(MDLM, SamplerSpec(first_hitting=True),
+                         apply_fn, params, KEY, batch_size=B, length=L)
+    b = diffusion_sample(MDLM, SamplerSpec(first_hitting=True),
+                         apply_fn, params, KEY, batch_size=B, length=L,
+                         dit_cfg=cfg)
+    agree = float((np.asarray(a) == np.asarray(b)).mean())
+    assert agree > 0.95, agree
+
+
+def test_first_hitting_cfg_per_position_head_matches():
+    import dataclasses as dc
+    spec = _spec(num_classes=4)
+    cfg = dc.replace(MODEL_CFG, num_classes=4)
+    apply_fn, params = _make_model(num_classes=4)
+    guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=1)
+    cond = jnp.ones((B,), jnp.int32)
+    a = diffusion_sample(spec, SamplerSpec(first_hitting=True),
+                         apply_fn, params, KEY, batch_size=B, length=L,
+                         guidance=guidance, cond=cond)
+    b = diffusion_sample(spec, SamplerSpec(first_hitting=True),
+                         apply_fn, params, KEY, batch_size=B, length=L,
+                         guidance=guidance, cond=cond, dit_cfg=cfg)
+    agree = float((np.asarray(a) == np.asarray(b)).mean())
+    assert agree > 0.95, agree
