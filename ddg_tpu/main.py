@@ -48,9 +48,18 @@ LOGGER = get_logger(__name__)
 # Builders: Config -> specs / modules / data
 # ---------------------------------------------------------------------------
 
+def _dataset_name(config: Config) -> str:
+    """cifar10's data.train/valid are local *paths* in the reference
+    (configs/data/cifar10.yaml `???`); detect it via the raw_pixels
+    tokenizer instead of the name."""
+    if config.data.get('tokenizer_name_or_path') == 'raw_pixels':
+        return 'cifar10'
+    return config.data.train
+
+
 def build_tokenizer(config: Config):
-    name = config.data.train
-    return get_tokenizer(name, config.data.get('tokenizer_name_or_path'))
+    return get_tokenizer(_dataset_name(config),
+                         config.data.get('tokenizer_name_or_path'))
 
 
 def effective_vocab(config: Config, tokenizer) -> Tuple[int, int]:
@@ -223,7 +232,7 @@ def build_data(config: Config, *, synthetic: Optional[bool] = None):
     """Dataset dispatch (reference dataloader.get_dataset,
     dataloader.py:233-343). `synthetic` falls back to
     config.data.synthetic (offline test data)."""
-    name = config.data.train
+    name = _dataset_name(config)
     cache = os.path.expanduser(str(config.data.get(
         'cache_dir', './data')))
     if synthetic is None:

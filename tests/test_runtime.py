@@ -228,3 +228,34 @@ class TestGradAccumulation:
         assert int(state.averaging.num_updates) == 1
         assert np.isfinite(float(metrics['loss']))
         assert float(metrics['token_count']) == 4 * B * L
+
+
+def test_sharded_first_hitting_sampling():
+    """North-star layout: first-hitting guided generation data-parallel
+    over the mesh."""
+    import dataclasses as dc
+    from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, \
+        diffusion_sample
+
+    mesh = mesh_lib.make_mesh(num_data=8, num_fsdp=1)
+    cfg = dataclasses.replace(MODEL_CFG, num_classes=2)
+    model = DIT(cfg)
+    x = jax.random.randint(KEY, (B, L), 0, V)
+    params = model.init(KEY, x, jnp.ones((B,)),
+                        jnp.zeros((B,), jnp.int32))['params']
+    spec = dataclasses.replace(SPEC, num_classes=2)
+    apply_fn = make_model_apply(model)
+
+    def sample_fn(p, key):
+        cond = jnp.ones((16,), jnp.int32)
+        return diffusion_sample(
+            spec, SamplerSpec(first_hitting=True), apply_fn, p, key,
+            batch_size=16, length=L,
+            guidance=GuidanceSpec(method='cfg', gamma=2.0, condition=1),
+            cond=cond, dit_cfg=cfg)
+
+    jitted, p = mesh_lib.shard_sample_fn(mesh, sample_fn, params)
+    out = jitted(p, KEY)
+    assert out.shape == (16, L)
+    assert len(out.sharding.device_set) == 8
+    assert not bool((out == MASK).any())
