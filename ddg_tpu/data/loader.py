@@ -70,6 +70,12 @@ class FaultTolerantLoader:
         while True:
             order = self._epoch_order(self.state.epoch)
             n_batches = len(order) // self.batch_size
+            if n_batches == 0 and (self.drop_last
+                                   or len(order) == 0):
+                raise ValueError(
+                    f'batch_size {self.batch_size} exceeds the '
+                    f'{len(order)} examples available to this host; '
+                    'lower loader.eval_batch_size / batch_size')
             start_batch = self.state.counter // self.batch_size
             for b in range(start_batch, n_batches):
                 idx = order[b * self.batch_size:(b + 1) * self.batch_size]

@@ -595,9 +595,10 @@ def validate(config, spec, apply_fn, state, valid_data, *, rng,
     eval_step = jax.jit(make_eval_step(
         spec, apply_fn,
         use_averaged=not bool(config.eval.disable_ema)))
+    n_valid = len(next(iter(valid_data.values())))
+    eval_bs = min(int(config.loader.eval_batch_size), n_valid)
     loader = FaultTolerantLoader(
-        valid_data, int(config.loader.eval_batch_size), shuffle=False,
-        seed=int(config.seed))
+        valid_data, eval_bs, shuffle=False, seed=int(config.seed))
     limit = config.trainer.get('limit_val_batches', 1.0)
     n = loader.epoch_batches()
     if isinstance(limit, float) and limit < 1.0:

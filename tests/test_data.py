@@ -231,3 +231,13 @@ def test_prefetch_to_device():
     for i, b in enumerate(out):
         np.testing.assert_array_equal(np.asarray(b['x']),
                                       batches[i]['x'])
+
+
+def test_loader_raises_when_batch_exceeds_dataset():
+    import pytest as _pytest
+    loader = FaultTolerantLoader(
+        {'input_ids': np.zeros((4, 2), np.int32),
+         'attention_mask': np.ones((4, 2), np.float32)},
+        batch_size=8, process_index=0, process_count=1)
+    with _pytest.raises(ValueError, match='exceeds'):
+        next(iter(loader))
