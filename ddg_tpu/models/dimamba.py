@@ -54,6 +54,12 @@ class DiMambaConfig:
     use_adaLN: bool = True
     scan_chunk: int = 256
     dropout: float = 0.1
+    # Rematerialize each block in the backward pass: the selective scan
+    # stores h (B, L, d_inner, N) per direction, which at L=32768 is
+    # ~1 GB/layer/direction — without remat 8 bidirectional blocks
+    # exceed HBM during training (the reference's CUDA kernel
+    # recomputes in backward for the same reason).
+    remat: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -94,30 +100,47 @@ def selective_scan(u, delta, A, B, C, D, z, *, chunk: int = 256):
     N = A.shape[-1]
     delta = delta.astype(jnp.float32)
     u32 = u.astype(jnp.float32)
-    a = jnp.exp(delta[..., None] * A[None, None])          # (B, L, d, N)
-    b = (delta[..., None] * B.astype(jnp.float32)[:, :, None, :]
-         * u32[..., None])                                  # (B, L, d, N)
 
+    # The (B, L, d, N) tensors a = exp(dt A) and b = dt B u would be
+    # ~2 GB each at the Species10 scale (L=32768, d=512, N=16), and
+    # materializing the state stack h over L costs the same again. So
+    # a/b/h only ever exist per-chunk: the chunk body recomputes them
+    # from the (B, chunk, ...) slices, emits y directly, and is
+    # jax.checkpoint-ed so the backward pass recomputes instead of
+    # stashing per-chunk internals (the reference's CUDA kernel makes
+    # the same recompute-in-backward tradeoff).
     pad = (-L) % chunk
-    if pad:
-        a = jnp.concatenate(
-            [a, jnp.ones((Bsz, pad, d, N), a.dtype)], axis=1)
-        b = jnp.concatenate(
-            [b, jnp.zeros((Bsz, pad, d, N), b.dtype)], axis=1)
-    n_chunks = (L + pad) // chunk
-    a = a.reshape(Bsz, n_chunks, chunk, d, N).swapaxes(0, 1)
-    b = b.reshape(Bsz, n_chunks, chunk, d, N).swapaxes(0, 1)
 
-    def body(h, ab):
-        h_all, h_last = _ssm_chunk_scan(h, *ab)
-        return h_last, h_all
+    def pad_l(x, value=0.0):
+        if not pad:
+            return x
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=value)
+
+    n_chunks = (L + pad) // chunk
+
+    def chunked(x):
+        return x.reshape(Bsz, n_chunks, chunk,
+                         *x.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunked(pad_l(delta)),
+          chunked(pad_l(B.astype(jnp.float32))),
+          chunked(pad_l(C.astype(jnp.float32))),
+          chunked(pad_l(u32)))
+
+    @jax.checkpoint
+    def body(h, inp):
+        delta_c, B_c, C_c, u_c = inp                 # (B, chunk, ...)
+        a = jnp.exp(delta_c[..., None] * A[None, None])
+        b = delta_c[..., None] * B_c[:, :, None, :] * u_c[..., None]
+        h_all, h_last = _ssm_chunk_scan(h, a, b)
+        y_c = (h_all * C_c[:, :, None, :]).sum(-1)   # (B, chunk, d)
+        return h_last, y_c
 
     h0 = jnp.zeros((Bsz, d, N), jnp.float32)
-    _, h_chunks = jax.lax.scan(body, h0, (a, b))   # (nc, B, C, d, N)
-    h = h_chunks.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, d, N)
-    h = h[:, :L]
-    y = (h * C.astype(jnp.float32)[:, :, None, :]).sum(-1) \
-        + D[None, None] * u32
+    _, y_chunks = jax.lax.scan(body, h0, xs)         # (nc, B, chunk, d)
+    y = y_chunks.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, d)
+    y = y[:, :L] + D[None, None] * u32
     y = y * jax.nn.silu(z.astype(jnp.float32))
     return y.astype(u.dtype)
 
@@ -233,8 +256,8 @@ class DiMambaBlock(nn.Module):
     cfg: DiMambaConfig
 
     @nn.compact
-    def __call__(self, hidden_states, residual, cond_embeds, *,
-                 train: bool):
+    def __call__(self, hidden_states, residual, cond_embeds,
+                 train: bool = False):
         cfg = self.cfg
         residual = (hidden_states + residual
                     if residual is not None else hidden_states)
@@ -292,9 +315,12 @@ class DiMamba(nn.Module):
         else:
             h = x_emb.astype(cfg.compute_dtype)
         residual = None
+        block_cls = (nn.remat(DiMambaBlock,
+                              static_argnums=(4,))
+                     if cfg.remat else DiMambaBlock)
         for i in range(cfg.n_blocks):
-            h, residual = DiMambaBlock(cfg, name=f'block_{i}')(
-                h, residual, c, train=train)
+            h, residual = block_cls(cfg, name=f'block_{i}')(
+                h, residual, c, train)
         final = (h + residual.astype(h.dtype)
                  if residual is not None else h)
         final = nn.LayerNorm(dtype=jnp.float32,
@@ -337,7 +363,7 @@ class DiMambaClassifier(nn.Module):
         residual = None
         for i in range(cfg.n_blocks):
             h, residual = DiMambaBlock(cfg, name=f'block_{i}')(
-                h, residual, c, train=train)
+                h, residual, c, train)
         final = (h + residual.astype(h.dtype)
                  if residual is not None else h)
         x = nn.LayerNorm(dtype=jnp.float32,
