@@ -117,3 +117,46 @@ def compute_generative_ppl(
             m = mask[:, 1:].float()
             metric.update(float((nll * m).sum()), float(m.sum()))
     return metric.ppl
+
+
+def compute_generative_ppl_with_ar_model(samples_tokens, *, ar_spec,
+                                         model_apply, params,
+                                         bos_token_id: int,
+                                         pad_token_id=None,
+                                         batch_size: int = 8) -> float:
+    """Generative PPL under one of OUR trained AR models — the offline
+    counterpart of the gpt2-large judge (reference eval_utils.py:28-90
+    re-tokenizes with the judge tokenizer; here samples are already in
+    the shared vocabulary, BOS-prefixed like main.py:263-276).
+
+    samples_tokens: (N, L) int array of generated token ids.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ddg_tpu.diffusion import log_x_theta
+
+    samples = np.asarray(samples_tokens)
+    n, L = samples.shape
+    # BOS prefix; targets are the sample tokens.
+    bos = np.full((n, 1), bos_token_id, samples.dtype)
+    inputs = np.concatenate([bos, samples[:, :-1]], axis=1)
+    mask = np.ones_like(samples, np.float32)
+    if pad_token_id is not None:
+        mask = (samples != pad_token_id).astype(np.float32)
+
+    @jax.jit
+    def nll_fn(inp, tgt, m):
+        lp = log_x_theta(ar_spec, model_apply, params, inp, None)
+        tok_lp = jnp.take_along_axis(lp, tgt[..., None],
+                                     axis=-1).squeeze(-1)
+        return (-tok_lp * m).sum(), m.sum()
+
+    metric = MeanMetric()
+    for i in range(0, n, batch_size):
+        sl = slice(i, min(i + batch_size, n))
+        s_, c_ = nll_fn(jnp.asarray(inputs[sl]),
+                        jnp.asarray(samples[sl]),
+                        jnp.asarray(mask[sl]))
+        metric.update(np.asarray(s_), np.asarray(c_))
+    return metric.ppl
