@@ -52,7 +52,10 @@ class DiMambaConfig:
     tie_word_embeddings: bool = False
     num_classes: Optional[int] = None
     use_adaLN: bool = True
-    scan_chunk: int = 256
+    # 128 measured fastest at Species10 scale on v5e (sweep: 32->2.15s,
+    # 64->2.18s, 128->2.23s, 256->3.4s, 512->10.2s per train step —
+    # large chunks spill VMEM).
+    scan_chunk: int = 128
     dropout: float = 0.1
     # Rematerialize each block in the backward pass: the selective scan
     # stores h (B, L, d_inner, N) per direction, which at L=32768 is
