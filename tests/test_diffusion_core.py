@@ -303,3 +303,51 @@ def test_first_hitting_cfg_per_position_head_matches():
                          guidance=guidance, cond=cond, dit_cfg=cfg)
     agree = float((np.asarray(a) == np.asarray(b)).mean())
     assert agree > 0.95, agree
+
+
+class TestFlagCoverage:
+    def test_subs_masking_zeroes_mask_prob(self):
+        spec = _spec(diffusion='uniform', parameterization='d3pm',
+                     time_conditioning=True, subs_masking=True)
+        apply_fn, params = _make_model()
+        xt = jax.random.randint(KEY, (B, L), 0, V)
+        out = log_x_theta(spec, apply_fn, params, xt, jnp.ones((B,)))
+        assert float(jnp.exp(out[..., MASK]).max()) < 1e-30
+
+    def test_change_of_variables_loss(self):
+        spec = _spec(change_of_variables=True)
+        apply_fn, params = _make_model()
+        x0 = jax.random.randint(KEY, (B, L), 0, V - 1)
+        mask = jnp.ones((B, L), jnp.float32)
+        out = loss_fn(spec, apply_fn, params, x0, mask, None, KEY,
+                      train=True)
+        assert np.isfinite(float(out.loss))
+
+    def test_importance_sampling_loss(self):
+        spec = _spec(importance_sampling=True)
+        apply_fn, params = _make_model()
+        x0 = jax.random.randint(KEY, (B, L), 0, V - 1)
+        mask = jnp.ones((B, L), jnp.float32)
+        out = loss_fn(spec, apply_fn, params, x0, mask, None, KEY,
+                      train=True)
+        assert np.isfinite(float(out.loss))
+
+    def test_noise_schedule_warmup_caps_move_chance(self):
+        spec = _spec(noise_schedule_warmup=True,
+                     noise_schedule_warmup_fraction=0.5, max_steps=100)
+        apply_fn, params = _make_model()
+        x0 = jax.random.randint(KEY, (B, L), 0, V - 1)
+        mask = jnp.ones((B, L), jnp.float32)
+        out = loss_fn(spec, apply_fn, params, x0, mask, None, KEY,
+                      train=True, step=jnp.asarray(1))
+        assert np.isfinite(float(out.loss))
+
+    def test_unrolling_ignore_diffusion_loss(self):
+        spec = _spec(unrolling=True, unrolling_steps=2,
+                     unrolling_ignore_diffusion_loss=True)
+        apply_fn, params = _make_model()
+        x0 = jax.random.randint(KEY, (B, L), 0, V - 1)
+        mask = jnp.ones((B, L), jnp.float32)
+        out = loss_fn(spec, apply_fn, params, x0, mask, None, KEY,
+                      train=True)
+        assert np.isfinite(float(out.loss))

@@ -127,3 +127,42 @@ def test_runner_smoke_qm9(tmp_path):
     assert len(out) == 1
     assert 0 <= out[0]['valid_frac'] <= 1
     assert (tmp_path / 'qm9.csv').exists()
+
+
+def test_runner_smoke_amazon(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from ddg_tpu.data.tokenizers import FallbackWordTokenizer
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.guidance_eval.runners import amazon_polarity_eval
+    from ddg_tpu.models import DIT, DITConfig, make_model_apply
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    from ddg_tpu.samplers import SamplerSpec
+
+    tok = FallbackWordTokenizer(vocab_size=64)
+    V = tok.vocab_size + 1  # + mask
+    cfg = DITConfig(hidden_size=32, cond_dim=16, length=12, n_blocks=2,
+                    n_heads=2, dropout=0.0, vocab_size=V, num_classes=2,
+                    compute_dtype=jnp.float32)
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='subs',
+                         noise=LogLinearNoise(), vocab_size=V,
+                         mask_index=V - 1, num_classes=2)
+    model = DIT(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 12), jnp.int32)
+    params = model.init(key, x, jnp.ones((1,)),
+                        jnp.zeros((1,), jnp.int32))['params']
+
+    def sentiment(texts):
+        return [len(t) % 2 for t in texts]
+
+    out = amazon_polarity_eval(
+        spec, SamplerSpec(steps=3, use_cache=False),
+        make_model_apply(model), params, tok, gammas=[2.0],
+        num_sample_batches=1, batch_size=4, length=12,
+        sentiment_classifier=sentiment,
+        output_path=str(tmp_path / 'amazon.csv'))
+    assert len(out) == 1
+    assert 'distinct_1' in out[0] and 'sentiment_accuracy' in out[0]
+    assert (tmp_path / 'amazon.csv').exists()
