@@ -36,6 +36,7 @@ def qm9_guidance_eval(spec, sampler: SamplerSpec, model_apply, params,
                       length: int = 32, seed: int = 0,
                       train_smiles: Optional[Sequence[str]] = None,
                       classifier_apply=None, classifier_params=None,
+                      dit_cfg=None,
                       output_path: Optional[str] = None) -> List[Dict]:
     """Gamma sweep -> molecule metrics (reference qm9_eval.py:88-204:
     64 batches x 16 samples, T=32, gamma 1..5)."""
@@ -53,7 +54,7 @@ def qm9_guidance_eval(spec, sampler: SamplerSpec, model_apply, params,
                 spec, sampler, model_apply, params, k,
                 batch_size=batch_size, length=length, guidance=guidance,
                 cond=cond, classifier_apply=classifier_apply,
-                classifier_params=classifier_params)
+                classifier_params=classifier_params, dit_cfg=dit_cfg)
             texts.extend(tokenizer.batch_decode(np.asarray(out)))
         res = {'gamma': float(gamma),
                **gm.molecule_metrics(texts, train_set=train_smiles)}
@@ -74,6 +75,7 @@ def amazon_polarity_eval(spec, sampler: SamplerSpec, model_apply, params,
                          seed: int = 0,
                          sentiment_classifier: Optional[Callable] = None,
                          judge_model_name: Optional[str] = None,
+                         dit_cfg=None,
                          output_path: Optional[str] = None) -> List[Dict]:
     """CFG sweep -> diversity + sentiment accuracy (+ gen-PPL when a
     judge is available) (reference amazon_polarity_eval.py:66-215)."""
@@ -88,7 +90,8 @@ def amazon_polarity_eval(spec, sampler: SamplerSpec, model_apply, params,
             key, k = jax.random.split(key)
             out = diffusion_sample(spec, sampler, model_apply, params, k,
                                    batch_size=batch_size, length=length,
-                                   guidance=guidance, cond=cond)
+                                   guidance=guidance, cond=cond,
+                                   dit_cfg=dit_cfg)
             texts.extend(tokenizer.batch_decode(np.asarray(out)))
         res = {'gamma': float(gamma), **gm.ngram_diversity(texts)}
         if sentiment_classifier is not None:
@@ -116,6 +119,7 @@ def ten_species_eval(spec, sampler: SamplerSpec, model_apply, params,
                      reference_sequences: Optional[List[str]] = None,
                      discriminator_scores: Optional[Callable] = None,
                      classifier_apply=None, classifier_params=None,
+                     dit_cfg=None,
                      output_path: Optional[str] = None) -> Dict:
     """Per-class sampling -> classifier metrics + k-mer JS + AUROC
     (reference ten_species_eval.py:298-523).
@@ -139,7 +143,7 @@ def ten_species_eval(spec, sampler: SamplerSpec, model_apply, params,
                 spec, sampler, model_apply, params, k,
                 batch_size=batch_size, length=length, guidance=guidance,
                 cond=cond, classifier_apply=classifier_apply,
-                classifier_params=classifier_params)
+                classifier_params=classifier_params, dit_cfg=dit_cfg)
             texts = tokenizer.batch_decode(np.asarray(out))
             take = texts[:need]
             all_texts.extend(take)

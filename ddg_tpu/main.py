@@ -207,6 +207,8 @@ def build_classifier_model(config: Config, spec):
     mc = config.classifier_model
     num_classes = int(mc.num_classes)
     backbone = config.get('classifier_backbone') or mc.get('type', 'ddit')
+    is_fudge = bool(config.get('is_fudge_classifier', False))
+    pooling = 'no_pooling' if is_fudge else mc.get('pooling', 'mean')
     if backbone in ('dit', 'ddit'):
         cfg = DITConfig(
             hidden_size=int(mc.hidden_size),
@@ -222,7 +224,27 @@ def build_classifier_model(config: Config, spec):
                            if str(config.trainer.precision) == 'bf16'
                            else jnp.float32))
         model = DITClassifier(cfg, num_classes=num_classes,
-                              pooling=mc.get('pooling', 'mean'))
+                              pooling=pooling)
+        return model, cfg, make_classifier_apply(model)
+    if backbone == 'dimamba':
+        from ddg_tpu.models.dimamba import (DiMambaClassifier,
+                                            DiMambaConfig)
+        cfg = DiMambaConfig(
+            hidden_size=int(mc.hidden_size),
+            cond_dim=int(mc.cond_dim),
+            length=int(mc.length),
+            n_blocks=int(mc.n_blocks),
+            vocab_size=spec.vocab_size,
+            bidirectional=bool(mc.get('bidirectional', True)),
+            bidirectional_strategy=mc.get('bidirectional_strategy',
+                                          'add'),
+            bidirectional_weight_tie=bool(
+                mc.get('bidirectional_weight_tie', True)),
+            compute_dtype=(jnp.bfloat16
+                           if str(config.trainer.precision) == 'bf16'
+                           else jnp.float32))
+        model = DiMambaClassifier(cfg, num_classes=num_classes,
+                                  pooling=pooling)
         return model, cfg, make_classifier_apply(model)
     raise NotImplementedError(
         f'Classifier backbone {backbone} not implemented.')
@@ -308,7 +330,13 @@ def build_sampler_spec(config: Config) -> SamplerSpec:
             config.eval.low_confidence_sampling),
         low_confidence_threshold=float(
             config.eval.low_confidence_threshold),
-        argmax_sampling=bool(config.eval.argmax_sampling))
+        argmax_sampling=bool(config.eval.argmax_sampling),
+        # TPU fast paths (subsume the reference's sampling.use_cache
+        # NFE trick, configs/config.yaml sampling group): event-driven
+        # first-hitting sampling (exact T->infty limit, L NFEs) and the
+        # fused Pallas denoise-step kernel.
+        first_hitting=bool(config.sampling.get('first_hitting', False)),
+        fused=bool(config.sampling.get('fused', False)))
 
 
 def build_optim_spec(config: Config) -> OptimSpec:
@@ -472,26 +500,44 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
 
     import time as _time
     eval_rng = jax.random.PRNGKey(int(config.seed) + 1)
-    it = iter(loader)
+    # The eval step is jitted ONCE here and reused by every validation
+    # (a fresh closure per call would force an XLA retrace each
+    # val_check_interval).
+    eval_step = jax.jit(make_eval_step(
+        spec, apply_fn,
+        use_averaged=not bool(config.eval.disable_ema)))
+
+    def host_batches():
+        """Host-side prep (crop / flip / flexible-length / label->cond)
+        off the dispatch path; consumed through the double-buffered
+        device pipeline below."""
+        for b in loader:
+            if config.data.train == 'text8':
+                b = _maybe_crop_text8(config, b, tokenizer, crop_rng)
+            if config.data.train == 'cifar10':
+                b = _flip_cifar(b, crop_rng)
+            if flex and crop_rng.rand() < flex_frac:
+                b = _flexible_truncate(config, b, tokenizer, crop_rng)
+            yield _prep_batch(config, spec, b, accum=accum)
+
+    batch_sharding = mesh_lib.batch_shardings(mesh, example)
+    batches = prefetch_to_device(host_batches(), size=2,
+                                 sharding=batch_sharding)
+
+    # `step` is tracked host-side (state.step increments by exactly 1
+    # per call): reading int(state.step) every iteration would block on
+    # the async dispatch queue and serialize host and device.
+    step = int(state.step)
     tokens_since_log, t_last = 0, _time.perf_counter()
-    while int(state.step) < max_steps:
-        batch = next(it)
-        if config.data.train == 'text8':
-            batch = _maybe_crop_text8(config, batch, tokenizer, crop_rng)
-        if config.data.train == 'cifar10':
-            batch = _flip_cifar(batch, crop_rng)
-        if flex and crop_rng.rand() < flex_frac:
-            batch = _flexible_truncate(config, batch, tokenizer,
-                                       crop_rng)
-        prepped = _prep_batch(config, spec, batch, accum=accum)
-        tokens_since_log += int(prepped['attention_mask'].size)
-        batch = place_batch(prepped)
-        if profile_dir and not profiling \
-                and int(state.step) == profile_at:
+    for batch in batches:
+        if step >= max_steps:
+            break
+        tokens_since_log += int(batch['attention_mask'].size)
+        if profile_dir and not profiling and step == profile_at:
             jax.profiler.start_trace(profile_dir)
             profiling = True
         state, metrics = jitted(state, batch)
-        step = int(state.step)
+        step += 1
         if profiling and step >= profile_at + profile_n:
             jax.tree.map(
                 lambda x: x.block_until_ready(), metrics)
@@ -510,7 +556,7 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                 f'({tok_s / 1e3:.1f}K tok/s)')
         if step % val_every == 0 or step >= max_steps:
             val = validate(config, spec, apply_fn, state, data['valid'],
-                           rng=eval_rng)
+                           rng=eval_rng, eval_step=eval_step)
             metrics_log.log(step, {'val/nll': val.nll,
                                    'val/bpd': val.bpd,
                                    'val/ppl': val.ppl})
@@ -519,7 +565,8 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                                  loader_state=loader.state_dict())
             if bool(config.eval.generate_samples):
                 _log_validation_samples(config, spec, apply_fn, state,
-                                        tokenizer, metrics_log, step)
+                                        tokenizer, metrics_log, step,
+                                        model_cfg=model_cfg)
         ckpt.maybe_save_last(step, state,
                              loader_state=loader.state_dict())
     ckpt.save('last', state, loader_state=loader.state_dict())
@@ -555,7 +602,7 @@ def _flexible_truncate(config, batch, tokenizer, rng):
 
 
 def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
-                            metrics_log, step):
+                            metrics_log, step, model_cfg=None):
     """Sample generation during validation (reference
     on_validation_epoch_end, diffusion.py:945-1004): a couple of
     sequences (per class when guidance is configured) logged to the
@@ -573,7 +620,8 @@ def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
                 cfg.guidance['condition'] = c
                 out = sample(cfg, spec, apply_fn, params,
                              tokenizer=tokenizer,
-                             rng=jax.random.PRNGKey(step + c))
+                             rng=jax.random.PRNGKey(step + c),
+                             model_cfg=model_cfg)
                 texts = tokenizer.batch_decode(np.asarray(out))
                 metrics_log.log(step, {
                     f'samples/class_{c}': texts[0]
@@ -581,7 +629,8 @@ def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
         else:
             out = sample(cfg, spec, apply_fn, params,
                          tokenizer=tokenizer,
-                         rng=jax.random.PRNGKey(step))
+                         rng=jax.random.PRNGKey(step),
+                         model_cfg=model_cfg)
             texts = tokenizer.batch_decode(np.asarray(out))
             metrics_log.log(step, {
                 'samples/text': texts[0]
@@ -591,10 +640,11 @@ def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
 
 
 def validate(config, spec, apply_fn, state, valid_data, *, rng,
-             max_batches: Optional[int] = None):
-    eval_step = jax.jit(make_eval_step(
-        spec, apply_fn,
-        use_averaged=not bool(config.eval.disable_ema)))
+             max_batches: Optional[int] = None, eval_step=None):
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(
+            spec, apply_fn,
+            use_averaged=not bool(config.eval.disable_ema)))
     n_valid = len(next(iter(valid_data.values())))
     eval_bs = min(int(config.loader.eval_batch_size), n_valid)
     loader = FaultTolerantLoader(
@@ -653,7 +703,7 @@ def train_classifier(config: Config):
     # and freeze them.
     frozen_keys = ()
     if bool(config.get('is_pplm_classifier', False)):
-        d_tok, d_spec, d_apply, d_state = _restore_for_eval(config)
+        d_tok, d_spec, d_apply, d_state, _ = _restore_for_eval(config)
         use_ema = bool(config.classifier_model.get('use_encoder_ema',
                                                    True))
         enc = (averaged_params(d_state.averaging, d_state.params)
@@ -700,6 +750,35 @@ def train_classifier(config: Config):
     return state
 
 
+def _restore_classifier_for_sampling(config: Config):
+    """Load the guidance classifier from
+    guidance.classifier_checkpoint_path (reference Diffusion.sample
+    loads Classifier.load_from_checkpoint for fudge/pplm (AR) and
+    cbg/nos (diffusion), diffusion.py:1056-1068)."""
+    path = str(config.guidance.get('classifier_checkpoint_path') or '')
+    assert path, (f'guidance.method={config.guidance.method} requires '
+                  'guidance.classifier_checkpoint_path')
+    tokenizer = build_tokenizer(config)
+    dspec = build_diffusion_spec(config, tokenizer)
+    model, _, clf_apply = build_classifier_model(config, dspec)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, int(config.classifier_model.length)), jnp.int32)
+    sigma0 = (None if dspec.parameterization == 'ar'
+              else jnp.ones((1,)))
+    params = model.init(rng, x0, sigma0)['params']
+    state = init_train_state(rng, params, build_optim_spec(config),
+                             build_averaging_spec(config))
+    name = os.path.basename(path.rstrip('/'))
+    ckpt = CheckpointManager(os.path.dirname(path.rstrip('/')))
+    state, _ = ckpt.restore(name, state)
+    # The reference loads the raw module weights (Lightning
+    # load_from_checkpoint), not the classifier's own EMA.
+    return clf_apply, state.params
+
+
+_CLASSIFIER_GUIDED = ('cbg', 'nos', 'fudge', 'pplm')
+
+
 def sample(config: Config, spec, apply_fn, params, *, tokenizer,
            rng=None, classifier_apply=None, classifier_params=None,
            model_cfg=None):
@@ -709,15 +788,23 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     guidance = build_guidance_spec(config)
     sampler = build_sampler_spec(config)
+    if (guidance is not None and guidance.method in _CLASSIFIER_GUIDED
+            and classifier_apply is None):
+        classifier_apply, classifier_params = \
+            _restore_classifier_for_sampling(config)
     batch_size = int(config.sampling.batch_size)
     length = int(config.model.length)
     cond = None
     if guidance is not None and guidance.method == 'cfg':
         cond = jnp.full((batch_size,), guidance.condition, jnp.int32)
+    dit_cfg = model_cfg if isinstance(model_cfg, DITConfig) else None
     if spec.parameterization == 'ar':
-        # KV-cache fast path for DiT AR decoding.
-        decode_cfg = model_cfg if isinstance(model_cfg, DITConfig) \
-            else None
+        # Stateful decode fast path (DiT KV cache / DiMamba conv+SSM
+        # state; the reference's InferenceParams path,
+        # diffusion.py:1114-1124).
+        from ddg_tpu.models.dimamba import DiMambaConfig
+        decode_cfg = (model_cfg if isinstance(
+            model_cfg, (DITConfig, DiMambaConfig)) else None)
         return ar_sample(spec, sampler, apply_fn, params, rng,
                          batch_size=batch_size, length=length,
                          bos_token_id=tokenizer.bos_token_id,
@@ -729,7 +816,8 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
                             batch_size=batch_size, length=length,
                             guidance=guidance, cond=cond,
                             classifier_apply=classifier_apply,
-                            classifier_params=classifier_params)
+                            classifier_params=classifier_params,
+                            dit_cfg=dit_cfg)
 
 
 def _maybe_load_pretrained(config: Config, params):
@@ -774,12 +862,12 @@ def _restore_for_eval(config: Config):
         name = os.path.basename(path.rstrip('/'))
         ckpt = CheckpointManager(os.path.dirname(path.rstrip('/')))
         state, _ = ckpt.restore(name, state)
-    return tokenizer, spec, apply_fn, state
+    return tokenizer, spec, apply_fn, state, model_cfg
 
 
 def ppl_eval(config: Config) -> float:
     """mode=ppl_eval (reference main.py:308-319)."""
-    tokenizer, spec, apply_fn, state = _restore_for_eval(config)
+    tokenizer, spec, apply_fn, state, _ = _restore_for_eval(config)
     data = build_data(config)
     metric = validate(config, spec, apply_fn, state, data['valid'],
                       rng=jax.random.PRNGKey(int(config.seed)))
@@ -790,7 +878,8 @@ def ppl_eval(config: Config) -> float:
 def gen_ppl_eval(config: Config) -> dict:
     """mode=gen_ppl_eval (reference main.py:253-305): sample batches,
     decode, judge-model gen-PPL + unigram entropy."""
-    tokenizer, spec, apply_fn, state = _restore_for_eval(config)
+    tokenizer, spec, apply_fn, state, model_cfg = _restore_for_eval(
+        config)
     params = (averaged_params(state.averaging, state.params)
               if not bool(config.eval.disable_ema) else state.params)
     rng = jax.random.PRNGKey(int(config.seed))
@@ -798,7 +887,8 @@ def gen_ppl_eval(config: Config) -> dict:
     for i in range(int(config.sampling.num_sample_batches)):
         rng, srng = jax.random.split(rng)
         out = sample(config, spec, apply_fn, params,
-                     tokenizer=tokenizer, rng=srng)
+                     tokenizer=tokenizer, rng=srng,
+                     model_cfg=model_cfg)
         all_samples.append(np.asarray(out))
         texts.extend(tokenizer.batch_decode(out))
     entropy = unigram_entropy([s for b in all_samples for s in b])
@@ -809,6 +899,37 @@ def gen_ppl_eval(config: Config) -> dict:
         result['generative_ppl'] = compute_generative_ppl(
             texts, judge_model_name=judge,
             max_length=int(config.model.length))
+    out_path = config.eval.get('generated_samples_path') or ''
+    if out_path:
+        with open(out_path, 'w') as f:
+            json.dump(result, f)
+    return result
+
+
+def sample_eval(config: Config) -> dict:
+    """mode=sample: restore a checkpoint and generate guided/unguided
+    samples from the config surface alone. This is the CLI entry to
+    every guidance mechanism — CFG, CBG(exact/approx), NOS (diffusion)
+    and FUDGE (AR) load the classifier from
+    guidance.classifier_checkpoint_path (reference
+    diffusion.py:1056-1068; the reference reaches this through the
+    guidance_eval scripts)."""
+    tokenizer, spec, apply_fn, state, model_cfg = _restore_for_eval(
+        config)
+    params = (averaged_params(state.averaging, state.params)
+              if not bool(config.eval.disable_ema) else state.params)
+    rng = jax.random.PRNGKey(int(config.seed))
+    tokens, texts = [], []
+    for i in range(int(config.sampling.num_sample_batches)):
+        rng, srng = jax.random.split(rng)
+        out = sample(config, spec, apply_fn, params,
+                     tokenizer=tokenizer, rng=srng,
+                     model_cfg=model_cfg)
+        tokens.append(np.asarray(out))
+        texts.extend(tokenizer.batch_decode(np.asarray(out)))
+    result = {'samples': texts,
+              'unigram_entropy': unigram_entropy(
+                  [s for b in tokens for s in b])}
     out_path = config.eval.get('generated_samples_path') or ''
     if out_path:
         with open(out_path, 'w') as f:
@@ -827,23 +948,68 @@ def lengths_eval(config: Config) -> dict:
     return results
 
 
+def _setup_model_eval_config_ppl(cfg: Config, model_name: str) -> None:
+    """Per-family config surgery keyed on the run-dir name (reference
+    `_setup_model_eval_config_ppl`, main.py:327-345; substring match
+    order ar -> mdlm -> udlm preserved)."""
+    if 'ar' in model_name:
+        cfg['parameterization'] = 'ar'
+        cfg['diffusion'] = 'absorbing_state'
+        cfg['time_conditioning'] = False
+        cfg['zero_recon_loss'] = False
+        cfg.loader['eval_batch_size'] = 128
+    elif 'mdlm' in model_name:
+        cfg['parameterization'] = 'subs'
+        cfg['diffusion'] = 'absorbing_state'
+        cfg['time_conditioning'] = False
+        cfg['zero_recon_loss'] = False
+        cfg.loader['eval_batch_size'] = 128
+    elif 'udlm' in model_name:
+        cfg['parameterization'] = 'd3pm'
+        cfg['diffusion'] = 'uniform'
+        cfg['time_conditioning'] = True
+        cfg['zero_recon_loss'] = True
+        cfg.loader['eval_batch_size'] = 64
+
+
 def ppl_eval_all(config: Config) -> dict:
-    """mode=ppl_eval_all: sweep checkpoints under a models root with
-    per-family overrides (reference main.py:327-396). Each subdirectory
-    of eval.models_root is treated as a run dir with checkpoints/."""
-    root = str(config.eval.get('models_root', ''))
-    assert root, 'set +eval.models_root=<dir>'
+    """mode=ppl_eval_all: sweep run dirs under a models root with
+    per-family config surgery and the low-confidence / argmax PPL
+    variants (reference `_ppl_eval_all`, main.py:346-396). The root is
+    eval.models_root, falling back to the parent of
+    eval.checkpoint_path (the reference's convention)."""
+    root = str(config.eval.get('models_root', '') or '')
+    if not root:
+        root = os.path.dirname(str(config.eval.checkpoint_path or '')
+                               .rstrip('/'))
+    assert root, 'set +eval.models_root=<dir> or eval.checkpoint_path'
+    want_lc = bool(config.eval.low_confidence_sampling)
+    want_am = bool(config.eval.argmax_sampling)
     results = {}
     for name in sorted(os.listdir(root)):
         ckpt_path = os.path.join(root, name, 'checkpoints', 'last')
         if not os.path.isdir(ckpt_path):
             continue
         cfg = Config(config.to_dict())
+        _setup_model_eval_config_ppl(cfg, name)
         cfg.eval['checkpoint_path'] = ckpt_path
-        try:
-            results[name] = ppl_eval(cfg)
-        except Exception as e:
-            results[name] = f'error: {e}'
+        # Variant sweep (reference main.py:363-390): standard PPL
+        # always; low-confidence and argmax variants when requested.
+        variants = [('standard', False, False)]
+        if want_lc:
+            variants.append(('low_confidence', True, False))
+        if want_am:
+            variants.append(('argmax', False, True))
+        per = {}
+        for vname, lc, am in variants:
+            vcfg = Config(cfg.to_dict())
+            vcfg.eval['low_confidence_sampling'] = lc
+            vcfg.eval['argmax_sampling'] = am
+            try:
+                per[vname] = ppl_eval(vcfg)
+            except Exception as e:
+                per[vname] = f'error: {e}'
+        results[name] = (per if len(per) > 1 else per['standard'])
     LOGGER.info(f'ppl_eval_all: {results}')
     return results
 
@@ -851,7 +1017,7 @@ def ppl_eval_all(config: Config) -> dict:
 def lcsc_search(config: Config) -> dict:
     """mode=lcsc (reference main.py:110-183 + lcsc.py)."""
     from ddg_tpu.lcsc import combine_checkpoints_diff, run_lcsc
-    tokenizer, spec, apply_fn, state = _restore_for_eval(config)
+    tokenizer, spec, apply_fn, state, _ = _restore_for_eval(config)
     data = build_data(config)
     ckpt_dir = os.path.join(str(config.checkpointing.save_dir),
                             'checkpoints')
@@ -868,14 +1034,24 @@ def lcsc_search(config: Config) -> dict:
         trees.append(averaged_params(st.averaging, st.params))
 
     metric_name = lc.get('metric', 'ppl')
+    # One jitted eval step reused across all candidates (a fresh
+    # jax.jit closure per fitness call would retrace every candidate).
+    fit_eval_step = jax.jit(make_eval_step(
+        spec, apply_fn,
+        use_averaged=not bool(config.eval.disable_ema)))
 
     def fitness(alphas):
         merged = combine_checkpoints_diff(trees, alphas)
         st = dataclasses.replace(state, params=merged, averaging=None)
         if metric_name == 'ppl':
+            # Reference default: full validation pass per candidate
+            # (lcsc.py:94-115); lcsc.fitness_batches caps it for smoke
+            # runs (0 = full).
+            fb = int(lc.get('fitness_batches', 0))
             m = validate(config, spec, apply_fn, st, data['valid'],
                          rng=jax.random.PRNGKey(int(config.seed)),
-                         max_batches=int(lc.get('fitness_batches', 4)))
+                         max_batches=fb if fb > 0 else None,
+                         eval_step=fit_eval_step)
             return m.ppl
         # sample-based fitness (gen_ppl / entropy,
         # reference lcsc.py:94-115)
@@ -933,6 +1109,8 @@ def main(argv=None):
         return ppl_eval(config)
     if mode == 'gen_ppl_eval':
         return gen_ppl_eval(config)
+    if mode == 'sample':
+        return sample_eval(config)
     if mode == 'lengths_eval':
         return lengths_eval(config)
     if mode == 'ppl_eval_all':

@@ -16,7 +16,7 @@ config = load_config('configs', overrides=[
     'time_conditioning=True', 'zero_recon_loss=True',
     'model.length=32', 'sampling.steps=32',
     f'eval.checkpoint_path={ckpt}', *sys.argv[2:]])
-tokenizer, spec, apply_fn, state = M._restore_for_eval(config)
+tokenizer, spec, apply_fn, state, model_cfg = M._restore_for_eval(config)
 params = averaged_params(state.averaging, state.params)
 sampler = M.build_sampler_spec(config)
 results = qm9_guidance_eval(

@@ -88,6 +88,31 @@ class TestTrainE2E:
         assert all(set(t) <= set('abcdefghijklmnopqrstuvwxyz ')
                    for t in texts)
 
+    def test_sample_mode_first_hitting(self, trained):
+        """mode=sample with sampling.first_hitting=True reaches the
+        event-driven sampler (+ per-position head) from the config
+        surface alone."""
+        tmp_path, config, _ = trained
+        cfg = _tiny_config(tmp_path, extra=[
+            'mode=sample', 'sampling.first_hitting=True',
+            'sampling.num_sample_batches=1',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last',
+            f'+eval.generated_samples_path={tmp_path}/samples.json'])
+        result = M.sample_eval(cfg)
+        assert len(result['samples']) == 8
+        assert os.path.exists(f'{tmp_path}/samples.json')
+        # fully decoded: text8 chars only, no mask/special residue
+        assert all(set(t) <= set('abcdefghijklmnopqrstuvwxyz ')
+                   for t in result['samples'])
+
+    def test_sampler_spec_fast_paths_from_config(self, tmp_path):
+        cfg = _tiny_config(tmp_path, extra=[
+            'sampling.first_hitting=True', 'sampling.fused=True'])
+        spec = M.build_sampler_spec(cfg)
+        assert spec.first_hitting and spec.fused
+        spec = M.build_sampler_spec(_tiny_config(tmp_path))
+        assert not spec.first_hitting and not spec.fused
+
 
 class TestSpecBuilders:
     def test_vocab_mask_added_for_text8(self, tmp_path):
@@ -140,6 +165,113 @@ class TestClassifierE2E:
         state = M.train_classifier(config)
         assert int(state.step) == 4
         assert os.path.isdir(f'{tmp_path}/clf/classifier_checkpoints/last')
+
+
+class TestGuidedSamplingCLI:
+    """Classifier-guided sampling reachable from the config surface
+    (reference diffusion.py:1056-1068 loads
+    guidance.classifier_checkpoint_path)."""
+
+    QM9 = [
+        'data=qm9', 'diffusion=uniform', 'parameterization=d3pm',
+        'time_conditioning=True', 'zero_recon_loss=True',
+        'model=tiny', 'model.hidden_size=32', 'model.cond_dim=16',
+        'model.n_blocks=2', 'model.n_heads=2', 'model.length=16',
+        'model.dropout=0.0',
+        'classifier_model=tiny-classifier',
+        'classifier_model.hidden_size=32',
+        'classifier_model.cond_dim=16', 'classifier_model.n_blocks=2',
+        'classifier_model.n_heads=2', 'classifier_model.dropout=0.0',
+        'classifier_model.length=16',
+        'trainer.precision=fp32', 'trainer.max_steps=4',
+        'trainer.val_check_interval=4', 'trainer.log_every_n_steps=2',
+        'loader.global_batch_size=8', 'loader.batch_size=8',
+        'loader.eval_global_batch_size=8', 'trainer.devices=1',
+        'sampling.steps=4', 'sampling.num_sample_batches=1',
+        'eval.generate_samples=False', '+data.synthetic=true',
+    ]
+
+    @pytest.fixture(scope='class')
+    def qm9_trained(self, tmp_path_factory):
+        tmp_path = tmp_path_factory.mktemp('guided')
+        base = self.QM9 + [f'data.cache_dir={tmp_path}/data',
+                           f'checkpointing.save_dir={tmp_path}/run']
+        M.train(load_config(CONFIG_DIR, overrides=['mode=train'] + base))
+        M.train_classifier(load_config(
+            CONFIG_DIR, overrides=['mode=train_classifier'] + base))
+        return tmp_path, base
+
+    def _sample_cfg(self, tmp_path, base, extra):
+        clf = f'{tmp_path}/run/classifier_checkpoints/last'
+        return load_config(CONFIG_DIR, overrides=[
+            'mode=sample', *base,
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last',
+            f'guidance.classifier_checkpoint_path={clf}', *extra])
+
+    def test_cbg_exact_from_config(self, qm9_trained):
+        tmp_path, base = qm9_trained
+        cfg = self._sample_cfg(tmp_path, base,
+                               ['guidance=cbg', 'guidance.gamma=2.0',
+                                'guidance.condition=1'])
+        result = M.sample_eval(cfg)
+        assert len(result['samples']) == 8
+
+    def test_nos_from_config(self, qm9_trained):
+        tmp_path, base = qm9_trained
+        cfg = self._sample_cfg(tmp_path, base,
+                               ['guidance=nos',
+                                'guidance.condition=1'])
+        result = M.sample_eval(cfg)
+        assert len(result['samples']) == 8
+
+
+class TestPplEvalAll:
+    """mode=ppl_eval_all: per-family config surgery + variant sweep
+    (reference main.py:327-396) over three tiny trained checkpoints."""
+
+    FAMILIES = {
+        'qm9-ar': ['parameterization=ar', 'diffusion=absorbing_state',
+                   'time_conditioning=False', 'zero_recon_loss=False'],
+        'qm9-mdlm': ['parameterization=subs',
+                     'diffusion=absorbing_state',
+                     'time_conditioning=False',
+                     'zero_recon_loss=False'],
+        'qm9-udlm': ['parameterization=d3pm', 'diffusion=uniform',
+                     'time_conditioning=True', 'zero_recon_loss=True'],
+    }
+
+    def test_three_family_sweep(self, tmp_path):
+        base = [
+            'data=qm9', 'model=tiny',
+            'model.hidden_size=32', 'model.cond_dim=16',
+            'model.n_blocks=2', 'model.n_heads=2', 'model.length=16',
+            'model.dropout=0.0', 'trainer.precision=fp32',
+            'trainer.max_steps=2', 'trainer.val_check_interval=2',
+            'trainer.log_every_n_steps=2', 'training.guidance=null',
+            'loader.global_batch_size=8', 'loader.batch_size=8',
+            'loader.eval_global_batch_size=8', 'trainer.devices=1',
+            'eval.generate_samples=False', '+data.synthetic=true',
+            f'data.cache_dir={tmp_path}/data',
+            'trainer.limit_val_batches=0.02',
+        ]
+        for name, fam in self.FAMILIES.items():
+            cfg = load_config(CONFIG_DIR, overrides=[
+                'mode=train', *base, *fam,
+                f'checkpointing.save_dir={tmp_path}/models/{name}'])
+            M.train(cfg)
+        cfg = load_config(CONFIG_DIR, overrides=[
+            'mode=ppl_eval_all', *base,
+            'eval.low_confidence_sampling=True',
+            'eval.argmax_sampling=True',
+            f'+eval.models_root={tmp_path}/models',
+            'loader.eval_batch_size=8'])
+        results = M.ppl_eval_all(cfg)
+        assert set(results) == set(self.FAMILIES)
+        for name, per in results.items():
+            assert set(per) == {'standard', 'low_confidence', 'argmax'}
+            for v, ppl in per.items():
+                assert isinstance(ppl, float) and np.isfinite(ppl), \
+                    f'{name}/{v}: {ppl}'
 
 
 class TestLCSC:
