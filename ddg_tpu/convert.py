@@ -216,3 +216,166 @@ def export_dit_params(params: Dict, *, n_blocks: int) -> Dict:
         s['output_layer.adaLN_modulation.bias'] = A(
             params['final_adaLN']['bias'])
     return s
+
+
+# ---------------------------------------------------------------------------
+# DiMamba (reference models/dimamba.py: DiMamba -> BiMambaForMaskedLM ->
+# BiMamba -> BiMambaMixerModel; key layout
+# model.bimamba.backbone.{embeddings,layers.N,norm_f,adaLN_modulation_final}
+# + model.lm_head + top-level sigma_map/cond_map)
+# ---------------------------------------------------------------------------
+
+def _mamba_core(s: Dict, p: str) -> Dict:
+    """One direction's Mamba core (conv1d + x_proj + dt_proj + A/D;
+    reference Mamba, dimamba.py:52-249)."""
+    def T(x):
+        return np.ascontiguousarray(np.asarray(x).T)
+
+    return {
+        # torch Conv1d weight (d, 1, k) -> lax 'LIO' (k, 1, d)
+        'conv1d_kernel': np.ascontiguousarray(
+            np.transpose(s[p + 'conv1d.weight'], (2, 1, 0))),
+        'conv1d_bias': s[p + 'conv1d.bias'],
+        'x_proj': {'kernel': T(s[p + 'x_proj.weight'])},
+        'dt_proj': {'kernel': T(s[p + 'dt_proj.weight']),
+                    'bias': s[p + 'dt_proj.bias']},
+        'A_log': s[p + 'A_log'],
+        'D': s[p + 'D'],
+    }
+
+
+def convert_dimamba_params(state: Dict, *, n_blocks: int,
+                           bidirectional: bool = True,
+                           weight_tie: bool = True) -> Dict:
+    """Reference DiMamba state dict -> ddg_tpu DiMamba params pytree.
+
+    Tying parity (reference BiMambaWrapper, dimamba.py:591-623): in/out
+    projections are shared across directions when weight_tie; each
+    direction keeps its own conv/x_proj/dt_proj/A/D core.
+    """
+    # Strip only Lightning's `backbone.` wrapper — `model.` is a real
+    # DiMamba submodule (DiMamba.model = BiMambaForMaskedLM).
+    s = {re.sub(r'^backbone\.', '', k): v for k, v in state.items()}
+
+    def T(x):
+        return np.ascontiguousarray(np.asarray(x).T)
+
+    bb = 'model.bimamba.backbone.'
+    params: Dict = {}
+    params['word_embeddings'] = {
+        'embedding': s[bb + 'embeddings.word_embeddings.weight']}
+    if 'sigma_map.mlp.0.weight' in s:
+        params['sigma_map'] = {
+            'mlp1': {'kernel': T(s['sigma_map.mlp.0.weight']),
+                     'bias': s['sigma_map.mlp.0.bias']},
+            'mlp2': {'kernel': T(s['sigma_map.mlp.2.weight']),
+                     'bias': s['sigma_map.mlp.2.bias']},
+        }
+    if 'cond_map.embedding_table.weight' in s:
+        params['cond_map'] = {
+            'embedding': s['cond_map.embedding_table.weight']}
+
+    for i in range(n_blocks):
+        p = bb + f'layers.{i}.'
+        mixer = {
+            'in_proj_fwd': {
+                'kernel': T(s[p + 'mixer.mamba_fwd.in_proj.weight'])},
+            'out_proj_fwd': {
+                'kernel': T(s[p + 'mixer.mamba_fwd.out_proj.weight'])},
+            'core_fwd': _mamba_core(s, p + 'mixer.mamba_fwd.'),
+        }
+        if bidirectional:
+            mixer['core_rev'] = _mamba_core(s, p + 'mixer.mamba_rev.')
+            if not weight_tie:
+                mixer['in_proj_rev'] = {'kernel': T(
+                    s[p + 'mixer.mamba_rev.in_proj.weight'])}
+                mixer['out_proj_rev'] = {'kernel': T(
+                    s[p + 'mixer.mamba_rev.out_proj.weight'])}
+        block = {
+            'norm': {'scale': s[p + 'norm.weight'],
+                     'bias': s[p + 'norm.bias']},
+            'mixer': mixer,
+        }
+        if p + 'adaLN_modulation.weight' in s:
+            block['adaLN_modulation'] = {
+                'kernel': T(s[p + 'adaLN_modulation.weight']),
+                'bias': s[p + 'adaLN_modulation.bias']}
+        params[f'block_{i}'] = block
+
+    params['norm_f'] = {'scale': s[bb + 'norm_f.weight'],
+                        'bias': s[bb + 'norm_f.bias']}
+    if bb + 'adaLN_modulation_final.weight' in s:
+        params['adaLN_final'] = {
+            'kernel': T(s[bb + 'adaLN_modulation_final.weight']),
+            'bias': s[bb + 'adaLN_modulation_final.bias']}
+    if 'model.lm_head.weight' in s:
+        w = s['model.lm_head.weight']
+        params['lm_head'] = {'kernel': T(w),
+                             'bias': np.zeros(w.shape[0], np.float32)}
+    return params
+
+
+def make_reference_dimamba_state_dict(rng: 'np.random.RandomState', *,
+                                      hidden: int, cond_dim: int,
+                                      n_blocks: int, vocab: int,
+                                      d_state: int = 16,
+                                      d_conv: int = 4,
+                                      expand: int = 2,
+                                      with_cond: bool = False,
+                                      bidirectional: bool = True,
+                                      weight_tie: bool = True) -> Dict:
+    """Synthetic state dict with the reference DiMamba's names/shapes
+    (models/dimamba.py), for offline converter/parity tests."""
+    import math as _math
+    d_inner = expand * hidden
+    dt_rank = _math.ceil(hidden / 16)
+    r = lambda *shape: rng.randn(*shape).astype(np.float32) * 0.05
+    s: Dict = {}
+    s['sigma_map.mlp.0.weight'] = r(cond_dim, 256)
+    s['sigma_map.mlp.0.bias'] = r(cond_dim)
+    s['sigma_map.mlp.2.weight'] = r(cond_dim, cond_dim)
+    s['sigma_map.mlp.2.bias'] = r(cond_dim)
+    if with_cond:
+        s['cond_map.embedding_table.weight'] = r(3, cond_dim)
+    bb = 'model.bimamba.backbone.'
+    s[bb + 'embeddings.word_embeddings.weight'] = r(vocab, hidden)
+
+    def core(p):
+        s[p + 'conv1d.weight'] = r(d_inner, 1, d_conv)
+        s[p + 'conv1d.bias'] = r(d_inner)
+        s[p + 'x_proj.weight'] = r(dt_rank + 2 * d_state, d_inner)
+        s[p + 'dt_proj.weight'] = r(d_inner, dt_rank)
+        s[p + 'dt_proj.bias'] = (
+            rng.rand(d_inner).astype(np.float32) * 2 - 4)
+        s[p + 'A_log'] = np.log(np.broadcast_to(
+            np.arange(1, d_state + 1, dtype=np.float32),
+            (d_inner, d_state))).copy()
+        s[p + 'D'] = np.ones(d_inner, np.float32) + r(d_inner)
+
+    for i in range(n_blocks):
+        p = bb + f'layers.{i}.'
+        s[p + 'norm.weight'] = r(hidden) + 1
+        s[p + 'norm.bias'] = r(hidden)
+        s[p + 'adaLN_modulation.weight'] = r(3 * hidden, cond_dim)
+        s[p + 'adaLN_modulation.bias'] = r(3 * hidden)
+        s[p + 'mixer.mamba_fwd.in_proj.weight'] = r(2 * d_inner, hidden)
+        s[p + 'mixer.mamba_fwd.out_proj.weight'] = r(hidden, d_inner)
+        core(p + 'mixer.mamba_fwd.')
+        if bidirectional:
+            core(p + 'mixer.mamba_rev.')
+            if weight_tie:
+                s[p + 'mixer.mamba_rev.in_proj.weight'] = \
+                    s[p + 'mixer.mamba_fwd.in_proj.weight']
+                s[p + 'mixer.mamba_rev.out_proj.weight'] = \
+                    s[p + 'mixer.mamba_fwd.out_proj.weight']
+            else:
+                s[p + 'mixer.mamba_rev.in_proj.weight'] = r(
+                    2 * d_inner, hidden)
+                s[p + 'mixer.mamba_rev.out_proj.weight'] = r(
+                    hidden, d_inner)
+    s[bb + 'norm_f.weight'] = r(hidden) + 1
+    s[bb + 'norm_f.bias'] = r(hidden)
+    s[bb + 'adaLN_modulation_final.weight'] = r(2 * hidden, cond_dim)
+    s[bb + 'adaLN_modulation_final.bias'] = r(2 * hidden)
+    s['model.lm_head.weight'] = r(vocab, hidden)
+    return s

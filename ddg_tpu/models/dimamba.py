@@ -56,6 +56,10 @@ class DiMambaConfig:
     # 64->2.18s, 128->2.23s, 256->3.4s, 512->10.2s per train step —
     # large chunks spill VMEM).
     scan_chunk: int = 128
+    # Run the selective scan as a Pallas TPU kernel
+    # (ops/selective_scan_pallas.py): HBM-minimal, custom VJP. 'auto'
+    # = on when the default backend is TPU; True/False force it.
+    pallas_scan: str | bool = 'auto'
     dropout: float = 0.1
     # Rematerialize each block in the backward pass: the selective scan
     # stores h (B, L, d_inner, N) per direction, which at L=32768 is
@@ -206,6 +210,14 @@ class MambaCore(nn.Module):
         A = -jnp.exp(A_log)
         D = self.param('D', nn.initializers.ones, (d,))
 
+        use_pallas = (cfg.pallas_scan if isinstance(cfg.pallas_scan,
+                                                    bool)
+                      else jax.default_backend() == 'tpu')
+        if use_pallas:
+            from ddg_tpu.ops.selective_scan_pallas import \
+                selective_scan_pallas
+            return selective_scan_pallas(x, delta, A, B_ssm, C_ssm, D,
+                                         z, chunk=cfg.scan_chunk)
         return selective_scan(x, delta, A, B_ssm, C_ssm, D, z,
                               chunk=cfg.scan_chunk)
 
@@ -328,6 +340,17 @@ class DiMamba(nn.Module):
                  if residual is not None else h)
         final = nn.LayerNorm(dtype=jnp.float32,
                              name='norm_f')(final.astype(jnp.float32))
+        if cfg.use_adaLN and c is not None:
+            # Final adaLN modulation after norm_f (reference
+            # adaLN_modulation_final, dimamba.py:741-746,815-822;
+            # zero-init => identity at initialization).
+            mod = nn.Dense(2 * cfg.hidden_size,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           dtype=jnp.float32,
+                           name='adaLN_final')(c.astype(jnp.float32))
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            final = final * (1 + scale[:, None]) + shift[:, None]
         hidden = final
         if cfg.tie_word_embeddings:
             logits = final @ embed.embedding.T.astype(jnp.float32)
@@ -371,6 +394,15 @@ class DiMambaClassifier(nn.Module):
                  if residual is not None else h)
         x = nn.LayerNorm(dtype=jnp.float32,
                          name='norm_f')(final.astype(jnp.float32))
+        if cfg.use_adaLN and c is not None:
+            # reference adaLN_modulation_final (dimamba.py:741-746)
+            mod = nn.Dense(2 * cfg.hidden_size,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           dtype=jnp.float32,
+                           name='adaLN_final')(c.astype(jnp.float32))
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            x = x * (1 + scale[:, None]) + shift[:, None]
         if self.pooling == 'mean':
             x = x.mean(axis=1)
         elif self.pooling == 'max':

@@ -117,6 +117,12 @@ def decode_step(cfg: DiMambaConfig, params, cache: Dict,
             x = out
     final = x + residual if residual is not None else x
     final = _layer_norm(params['norm_f'], final)
+    if cfg.use_adaLN and c is not None and 'adaLN_final' in params:
+        # Final adaLN after norm_f (reference adaLN_modulation_final,
+        # dimamba.py:741-746,815-822) — must match DiMamba.__call__.
+        mod = _dense(params['adaLN_final'], c)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        final = final * (1 + scale) + shift
     if cfg.tie_word_embeddings:
         logits = final @ embed.T
     else:

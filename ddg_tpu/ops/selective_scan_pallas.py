@@ -1,0 +1,313 @@
+"""Pallas TPU kernel for the selective SSM scan (Mamba recurrence).
+
+Replaces the XLA chunked `lax.associative_scan` in
+models/dimamba.py::selective_scan for the hot inner recurrence
+    h_t = a_t * h_{t-1} + b_t,   a_t = exp(delta_t A),
+    b_t = delta_t B_t u_t,       y_t = sum_n C_{t,n} h_{t,n,:}
+(parity target: the reference's CUDA `selective_scan_fn`,
+/root/reference/models/dimamba.py:230-249).
+
+Why a kernel: the XLA scan materializes every level of the
+within-chunk associative scan in HBM — ~14 full passes over the
+(B, C, d, N) work tensors per chunk. Here a/b/h only ever live in
+VMEM: HBM traffic is ONE read of the inputs and one write of y (plus
+tiny per-chunk boundary states), the speed-of-light for this
+memory-bound op.
+
+Layout: time-major blocks (chunk, N, d_tile) — d rides the 128-lane
+axis, N the sublane axis, and the within-chunk prefix scan runs over
+the leading (untiled) time axis as a Hillis-Steele log-depth scan
+built on `pltpu.roll` (no strided slicing, Mosaic-friendly). The grid
+is (B, d_tiles, n_chunks) with chunks innermost: the carried state h
+lives in a VMEM scratch that persists across grid steps and resets at
+chunk 0.
+
+Backward: custom VJP. The forward additionally writes the chunk-entry
+states h0 (B, nc, N, d) — 1/chunk-th of the full state stack — and the
+backward kernel recomputes h within each chunk from h0 (the same
+recompute-instead-of-store tradeoff the CUDA kernel makes), runs the
+adjoint recurrence dh_t = C_t g_t + a_{t+1} dh_{t+1} right-to-left as
+a suffix scan, and emits du, ddelta, dB, dC plus dA accumulated per
+batch row (summed over B outside the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _time_row(x, idx: int):
+    """Static slice of row `idx` along axis 0 (Mosaic has no
+    dynamic_slice lowering, which is what jnp's `x[i]` becomes)."""
+    if idx < 0:
+        idx += x.shape[0]
+    return jax.lax.slice_in_dim(x, idx, idx + 1, axis=0).reshape(
+        x.shape[1:])
+
+
+def _hs_scan(a, b, *, reverse: bool = False):
+    """Log-depth inclusive affine scan over axis 0 of (C, N, d) pairs.
+
+    Forward: out_t = (prod_{s<=t} a_s, response of b_0..b_t), i.e.
+    h_t = a_t h_{t-1} + b_t unrolled from h_{-1} = 0.
+    Reverse: suffix version — out_t = b_t + a_t b_{t+1}
+    + a_t a_{t+1} b_{t+2} + ... (note: uses a_t as the weight applied
+    to everything to the right; callers pre-shift a for the adjoint).
+    """
+    C = a.shape[0]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = 1
+    while s < C:
+        if not reverse:
+            a_sh = pltpu.roll(a, s, 0)      # index t <- t-s
+            b_sh = pltpu.roll(b, s, 0)
+            valid = t_ids >= s
+            b = jnp.where(valid, a * b_sh + b, b)
+            a = jnp.where(valid, a * a_sh, a)
+        else:
+            a_sh = pltpu.roll(a, C - s, 0)  # index t <- t+s (circular)
+            b_sh = pltpu.roll(b, C - s, 0)
+            valid = t_ids < C - s
+            b = jnp.where(valid, b + a * b_sh, b)
+            a = jnp.where(valid, a * a_sh, a)
+        s *= 2
+    return a, b
+
+
+def _chunk_states(h0, a, b):
+    """h_t for t in [0, C) from entry state h0: h_t = A_cum,t h0
+    + B_resp,t."""
+    a_cum, b_resp = _hs_scan(a, b)
+    return a_cum * h0[None] + b_resp
+
+
+def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref,
+                y_ref, h0_out_ref, h_scr):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    h0 = h_scr[...]                                   # (N, d)
+    h0_out_ref[0, 0] = h0
+
+    dt = dt_ref[0].astype(jnp.float32)                # (C, d)
+    u = u_ref[0].astype(jnp.float32)                  # (C, d)
+    Bc = b_ref[0].astype(jnp.float32)                 # (C, N)
+    Cc = c_ref[0].astype(jnp.float32)                 # (C, N)
+    A = -jnp.exp(a_log_ref[...].astype(jnp.float32))  # (N, d)
+
+    a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
+    b = (dt * u)[:, None, :] * Bc[..., None]          # (C, N, d)
+    h_all = _chunk_states(h0, a, b)
+    h_scr[...] = _time_row(h_all, -1)
+    y_ref[0] = jnp.sum(h_all * Cc[..., None], axis=1)  # (C, d)
+
+
+def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, h0_ref, g_ref,
+                du_ref, ddt_ref, db_ref, dc_ref, da_log_ref,
+                carry_scr):
+    """Adjoint scan; grid index k maps to chunk nc-1-k (reverse
+    chunk order, see the index maps). carry_scr holds
+    a_first*dh_first of the chunk to the right (zero at the last)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        carry_scr[...] = jnp.zeros_like(carry_scr)
+
+    dt = dt_ref[0].astype(jnp.float32)                # (C, d)
+    u = u_ref[0].astype(jnp.float32)                  # (C, d)
+    Bc = b_ref[0].astype(jnp.float32)                 # (C, N)
+    Cc = c_ref[0].astype(jnp.float32)                 # (C, N)
+    g = g_ref[0].astype(jnp.float32)                  # (C, d)
+    A = -jnp.exp(a_log_ref[...].astype(jnp.float32))  # (N, d)
+    h0 = h0_ref[0, 0]                                 # (N, d)
+
+    C_len, N_, d_ = dt.shape[0], A.shape[0], A.shape[1]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (C_len, N_, d_), 0)
+
+    # Recompute within-chunk forward states.
+    a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
+    b = (dt * u)[:, None, :] * Bc[..., None]
+    h_all = _chunk_states(h0, a, b)
+    # h_{t-1}: shift down by one, h0 at t=0.
+    h_prev = jnp.where(t_ids == 0, h0[None],
+                       pltpu.roll(h_all, 1, 0))
+
+    # Adjoint: dh_t = w_t + a_{t+1} dh_{t+1}; suffix scan with the
+    # coefficient shifted up by one (a_up_t = a_{t+1}; 1 at t=C-1) and
+    # the cross-chunk carry folded into w at t=C-1.
+    w = Cc[..., None] * g[:, None, :]                 # (C, N, d)
+    w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
+    a_up = jnp.where(t_ids == C_len - 1, 1.0,
+                     pltpu.roll(a, C_len - 1, 0))
+    _, dh = _hs_scan(a_up, w, reverse=True)           # (C, N, d)
+
+    carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
+
+    da = dh * h_prev                                  # wrt a
+    dhB = jnp.sum(dh * Bc[..., None], axis=1)         # (C, d)
+    ddt_ref[0] = jnp.sum(da * a * A[None], axis=1) + dhB * u
+    du_ref[0] = dhB * dt
+    # db/dc reduce over d, which is tiled across grid dim 1 — emit
+    # per-d-tile partials (summed outside; non-consecutive output
+    # revisits are not a safe accumulation pattern).
+    db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2)  # (C, N)
+    dc_ref[0, 0] = jnp.sum(h_all * g[:, None, :], axis=2)      # (C, N)
+
+    # dA_log accumulated over chunks (k innermost => consecutive
+    # revisits of the same (bi, di) output block, which is the safe
+    # Pallas accumulation pattern); summed over B outside.
+    dA = jnp.sum(da * a * dt[:, None, :], axis=0)     # (N, d)
+
+    @pl.when(k == 0)
+    def _():
+        da_log_ref[0] = jnp.zeros_like(da_log_ref[0])
+
+    da_log_ref[0] += dA * A
+
+
+def _specs(chunk, d_tile, N, *, rev, nc):
+    kmap = (lambda k: nc - 1 - k) if rev else (lambda k: k)
+    u_spec = pl.BlockSpec((1, chunk, d_tile),
+                          lambda bi, di, k: (bi, kmap(k), di),
+                          memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((1, chunk, N),
+                          lambda bi, di, k: (bi, kmap(k), 0),
+                          memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((N, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
+    h0_spec = pl.BlockSpec((1, 1, N, d_tile),
+                           lambda bi, di, k: (bi, kmap(k), 0, di),
+                           memory_space=pltpu.VMEM)
+    return u_spec, n_spec, a_spec, h0_spec
+
+
+def _fwd_call(u, delta, A_log, Bc, Cc, *, chunk, d_tile, interpret):
+    B, L, d = u.shape
+    N = A_log.shape[0]
+    nc = L // chunk
+    u_spec, n_spec, a_spec, h0_spec = _specs(chunk, d_tile, N,
+                                             rev=False, nc=nc)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(B, d // d_tile, nc),
+        in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec],
+        out_specs=(u_spec, h0_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, nc, N, d), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, d_tile), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, Bc, Cc, A_log)
+
+
+def _bwd_call(u, delta, A_log, Bc, Cc, h0s, g, *, chunk, d_tile,
+              interpret):
+    B, L, d = u.shape
+    N = A_log.shape[0]
+    nc = L // chunk
+    u_spec, n_spec, a_spec, h0_spec = _specs(chunk, d_tile, N,
+                                             rev=True, nc=nc)
+    dA_spec = pl.BlockSpec((1, N, d_tile),
+                           lambda bi, di, k: (bi, 0, di),
+                           memory_space=pltpu.VMEM)
+    n_d = d // d_tile
+    kmap = lambda k: nc - 1 - k  # noqa: E731
+    dn_spec = pl.BlockSpec((1, 1, chunk, N),
+                           lambda bi, di, k: (di, bi, kmap(k), 0),
+                           memory_space=pltpu.VMEM)
+    du, ddt, db, dc, dAlog = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B, n_d, nc),
+        in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, h0_spec,
+                  u_spec],
+        out_specs=(u_spec, u_spec, dn_spec, dn_spec, dA_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_d, B, L, N), jnp.float32),
+                   jax.ShapeDtypeStruct((n_d, B, L, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, d), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, d_tile), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, Bc, Cc, A_log, h0s, g)
+    return du, ddt, db.sum(axis=0), dc.sum(axis=0), dAlog.sum(axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def ssm_scan(u, delta, A_log, Bc, Cc, chunk=128, d_tile=256,
+             d_tile_bwd=128, interpret=False):
+    """y_t = sum_n C_{t,n} h_{t,n,:} with the Mamba recurrence.
+
+    u, delta: (B, L, d); A_log: (N, d) with A = -exp(A_log);
+    Bc, Cc: (B, L, N). Returns y (B, L, d) fp32. Differentiable wrt
+    all five tensor args. chunk must divide L; d_tile(|_bwd) divide d.
+    """
+    y, _ = _fwd_call(u, delta, A_log, Bc, Cc, chunk=chunk,
+                     d_tile=d_tile, interpret=interpret)
+    return y
+
+
+def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, chunk, d_tile,
+                      d_tile_bwd, interpret):
+    y, h0s = _fwd_call(u, delta, A_log, Bc, Cc, chunk=chunk,
+                       d_tile=d_tile, interpret=interpret)
+    return y, (u, delta, A_log, Bc, Cc, h0s)
+
+
+def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, res, g):
+    u, delta, A_log, Bc, Cc, h0s = res
+    du, ddt, db, dc, dAlog = _bwd_call(
+        u, delta, A_log, Bc, Cc, h0s, g, chunk=chunk,
+        d_tile=d_tile_bwd, interpret=interpret)
+    return (du.astype(u.dtype), ddt.astype(delta.dtype),
+            dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
+            dc.astype(Cc.dtype))
+
+
+ssm_scan.defvjp(_ssm_scan_vjp_fwd, _ssm_scan_vjp_bwd)
+
+
+def _pad_time(x, chunk):
+    pad = (-x.shape[1]) % chunk
+    if not pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[1] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
+                          d_tile=None, d_tile_bwd=None,
+                          interpret=False):
+    """Drop-in replacement for models/dimamba.py::selective_scan with
+    the recurrence in a Pallas kernel. u, delta, z: (B, L, d);
+    A: (d, N) (= -exp(A_log)); B, C: (B, L, N); D: (d,).
+
+    delta must already be softplus'd (matching selective_scan). The
+    padded tail (if chunk doesn't divide L) contributes delta=0 =>
+    a=1, b=0: state passes through untouched and the pad rows are
+    sliced off.
+    """
+    Bsz, L, d = u.shape
+    if d_tile is None:
+        d_tile = min(d, 256)
+    if d_tile_bwd is None:
+        d_tile_bwd = min(d, 128)
+    A_log = jnp.log(-A.astype(jnp.float32)).T          # (N, d)
+    up = _pad_time(u, chunk)
+    dtp = _pad_time(delta.astype(jnp.float32), chunk)
+    Bp = _pad_time(B, chunk)
+    Cp = _pad_time(C, chunk)
+    y = ssm_scan(up, dtp, A_log, Bp, Cp, chunk, d_tile, d_tile_bwd,
+                 interpret)
+    y = y[:, :L]
+    y = y + D[None, None].astype(jnp.float32) * u.astype(jnp.float32)
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(u.dtype)

@@ -1,0 +1,97 @@
+"""Equality tests for the Pallas selective-scan kernel
+(ops/selective_scan_pallas.py) against (a) the XLA chunked
+associative-scan implementation (models/dimamba.py::selective_scan)
+and (b) a naive sequential recurrence — forward values AND gradients
+(custom VJP). Runs in TPU-interpret mode on CPU (no PRNG involved, so
+the interpreter is faithful here).
+
+Reference semantics being matched: mamba selective_scan_fn
+(/root/reference/models/dimamba.py:230-249).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddg_tpu.models.dimamba import selective_scan
+from ddg_tpu.ops.selective_scan_pallas import selective_scan_pallas
+
+B, L, D, N = 2, 37, 16, 4          # L deliberately not chunk-aligned
+CHUNK = 16
+
+
+def _inputs(seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    u = jax.random.normal(ks[0], (B, L, D))
+    delta = jax.nn.softplus(jax.random.normal(ks[1], (B, L, D)) - 1)
+    A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+    Bc = jax.random.normal(ks[3], (B, L, N))
+    Cc = jax.random.normal(ks[4], (B, L, N))
+    Dp = jax.random.normal(ks[5], (D,))
+    z = jax.random.normal(ks[6], (B, L, D))
+    return u, delta, A, Bc, Cc, Dp, z
+
+
+def _naive(u, delta, A, Bc, Cc, Dp, z):
+    h = jnp.zeros((B, D, N))
+    ys = []
+    for t in range(L):
+        a = jnp.exp(delta[:, t, :, None] * A[None])
+        b = (delta[:, t] * u[:, t])[..., None] * Bc[:, t, None, :]
+        h = a * h + b
+        ys.append((h * Cc[:, t, None, :]).sum(-1))
+    y = jnp.stack(ys, axis=1) + Dp[None, None] * u
+    return y * jax.nn.silu(z)
+
+
+_pallas = functools.partial(selective_scan_pallas, chunk=CHUNK,
+                            d_tile=8, d_tile_bwd=8, interpret=True)
+
+
+def test_forward_matches_xla_scan_and_naive():
+    u, delta, A, Bc, Cc, Dp, z = _inputs()
+    y_pl = _pallas(u, delta, A, Bc, Cc, Dp, z)
+    y_xla = selective_scan(u, delta, A, Bc, Cc, Dp, z, chunk=CHUNK)
+    y_naive = _naive(u, delta, A, Bc, Cc, Dp, z)
+    np.testing.assert_allclose(y_pl, y_xla, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y_pl, y_naive, rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla_scan():
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=1)
+    # Weighted-sum loss so every output position gets a distinct
+    # cotangent (catches transposition/shift bugs in the adjoint).
+    wkey = jax.random.PRNGKey(2)
+    w = jax.random.normal(wkey, (B, L, D))
+
+    def loss(fn, *args):
+        return (fn(*args) * w).sum()
+
+    args = (u, delta, A, Bc, Cc, Dp, z)
+    g_pl = jax.grad(functools.partial(loss, _pallas),
+                    argnums=tuple(range(7)))(*args)
+    g_xla = jax.grad(
+        functools.partial(
+            loss, functools.partial(selective_scan, chunk=CHUNK)),
+        argnums=tuple(range(7)))(*args)
+    names = ['u', 'delta', 'A', 'B', 'C', 'D', 'z']
+    for name, a, b in zip(names, g_pl, g_xla):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=f'grad mismatch: {name}')
+
+
+def test_forward_bf16_inputs():
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=3)
+    y_pl = _pallas(u.astype(jnp.bfloat16), delta, A,
+                   Bc.astype(jnp.bfloat16), Cc.astype(jnp.bfloat16),
+                   Dp, z.astype(jnp.bfloat16))
+    y_xla = selective_scan(u.astype(jnp.bfloat16), delta, A,
+                           Bc.astype(jnp.bfloat16),
+                           Cc.astype(jnp.bfloat16), Dp,
+                           z.astype(jnp.bfloat16), chunk=CHUNK)
+    assert y_pl.dtype == y_xla.dtype == jnp.bfloat16
+    np.testing.assert_allclose(y_pl.astype(jnp.float32),
+                               y_xla.astype(jnp.float32),
+                               rtol=2e-2, atol=2e-2)
