@@ -25,7 +25,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ddg_tpu.models.dit import timestep_embedding
+def transformer_timestep_embedding(t, dim: int,
+                                   max_positions: float = 10_000.0):
+    """Reference unet.py:15-29: note the [sin, cos] order and the
+    (half-1) frequency denominator — both differ from the DiT
+    embedding (dit.py:169-193), so the UNet must NOT reuse it
+    (checkpoint parity)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_positions)
+                    * jnp.arange(half, dtype=jnp.float32) / (half - 1))
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])],
+                              axis=-1)
+    return emb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,8 +199,8 @@ class UNet(nn.Module):
 
         temb = None
         if cfg.time_conditioning and sigma is not None:
-            temb = timestep_embedding(sigma * cfg.time_scale_factor,
-                                      cfg.time_embed_dim)
+            temb = transformer_timestep_embedding(
+                sigma * cfg.time_scale_factor, cfg.time_embed_dim)
             temb = nn.Dense(4 * cfg.time_embed_dim,
                             bias_init=nn.initializers.zeros,
                             name='temb0')(temb)
