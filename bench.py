@@ -41,11 +41,20 @@ def main():
     p.add_argument('--quick', action='store_true',
                    help='tiny model for CPU smoke runs')
     p.add_argument('--no-cache', action='store_true',
-                   help='disable the MDLM NFE cache')
-    p.add_argument('--fused', action='store_true',
-                   help='use the fused Pallas denoise-step kernel')
-    p.add_argument('--bf16-head', action='store_true',
-                   help='bf16 vocab-projection matmul (full MXU rate)')
+                   help='disable the MDLM NFE cache (bench default)')
+    p.add_argument('--cache', action='store_true',
+                   help='enable the MDLM NFE cache (loses at B>=32)')
+    p.add_argument('--fused', action='store_true', default=None,
+                   help='use the fused Pallas denoise-step kernel '
+                        '(default: on for --ancestral)')
+    p.add_argument('--no-fused', dest='fused', action='store_false',
+                   help='disable the fused Pallas kernel')
+    p.add_argument('--bf16-head', action='store_true', default=None,
+                   help='bf16 vocab-projection matmul (full MXU rate; '
+                        'default: on for --ancestral)')
+    p.add_argument('--fp32-head', dest='bf16_head',
+                   action='store_false',
+                   help='keep the vocab projection in fp32')
     p.add_argument('--first-hitting', action='store_true',
                    default=True,
                    help='event-driven sampler: L forwards instead of '
@@ -54,6 +63,12 @@ def main():
                    action='store_false',
                    help='measure the T-step ancestral sampler instead')
     args = p.parse_args()
+    # Ancestral defaults: fused Pallas denoise kernel + bf16 head (the
+    # fastest step-for-step-exact configuration); both opt-out-able.
+    if args.fused is None:
+        args.fused = not args.first_hitting
+    if args.bf16_head is None:
+        args.bf16_head = not args.first_hitting
 
     from __graft_entry__ import _flagship
     from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
@@ -78,10 +93,14 @@ def main():
     cond_init = jnp.zeros((1,), jnp.int32)
     params = model.init(rng, x_init, jnp.ones((1,)), cond_init)['params']
 
-    # use_cache=True is the reference default (configs/config.yaml
-    # sampling.use_cache); valid for MDLM because decoded tokens are
-    # frozen — cached steps skip the denoiser forward via lax.cond.
-    sampler = SamplerSpec(steps=args.steps, use_cache=not args.no_cache,
+    # The reference defaults sampling.use_cache=True; measured on-chip
+    # the cache LOSES at B=32 (2.06 vs 2.16 samples/sec): P(no decode
+    # event in a step) ~ exp(-B*L/T) ~ 0, so the lax.cond never skips
+    # a forward and the (2B, L, V) cache tensor rides the scan carry
+    # for nothing. Bench default is therefore no-cache (--cache
+    # opts back in); the config surface keeps the reference default.
+    sampler = SamplerSpec(steps=args.steps,
+                          use_cache=args.cache and not args.no_cache,
                           fused=args.fused,
                           first_hitting=args.first_hitting)
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
@@ -92,8 +111,7 @@ def main():
         return diffusion_sample(
             spec, sampler, apply_fn, params, key,
             batch_size=args.batch, length=cfg.length,
-            guidance=guidance, cond=cond,
-            dit_cfg=cfg if args.first_hitting else None)
+            guidance=guidance, cond=cond, dit_cfg=cfg)
 
     # Warmup/compile
     out = run(params, jax.random.PRNGKey(1))

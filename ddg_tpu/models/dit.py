@@ -311,6 +311,46 @@ class DITClassifier(nn.Module):
                         name='output_layer')(x.astype(jnp.float32))
 
 
+def dit_head_features(cfg: DITConfig, params, hidden, c):
+    """norm_final + final adaLN modulation WITHOUT the vocab matmul.
+
+    hidden: (..., D); c: (batch, cond_dim) broadcast over any middle
+    dims. The output head is linear in these features, which makes two
+    algebraic shortcuts valid downstream: projecting only selected
+    rows (first-hitting sampler) and gamma-mixing cond/uncond features
+    before ONE vocab matmul (CFG; logits mix == feature mix @ W since
+    the bias sums to bias: gamma*b + (1-gamma)*b = b).
+    """
+    h32 = hidden.astype(jnp.float32)
+    mean = h32.mean(-1, keepdims=True)
+    var = h32.var(-1, keepdims=True)
+    h = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * params['norm_final']['weight']).astype(hidden.dtype)
+    if cfg.use_adaLN and 'final_adaLN' in params:
+        mod = c @ params['final_adaLN']['kernel'] \
+            + params['final_adaLN']['bias']
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        extra = (1,) * (hidden.ndim - 2)
+        shift = shift.reshape(shift.shape[0], *extra, shift.shape[-1])
+        scale = scale.reshape(scale.shape[0], *extra, scale.shape[-1])
+        h = h * (1 + scale) + shift
+    return h
+
+
+def dit_head_matmul(cfg: DITConfig, params, feats):
+    """The vocab projection on head features (dtype per logits_dtype).
+
+    The bias is cast to logits_dtype BEFORE the add (as nn.Dense's
+    dtype policy does): a fp32 bias would promote the whole (B, L, V)
+    logits tensor to fp32 — an extra half-gigabyte HBM round-trip per
+    sampling step at the LM1B scale."""
+    dt = cfg.logits_dtype
+    h = feats.astype(dt)
+    logits = h @ params['output_linear']['kernel'].astype(dt) \
+        + params['output_linear']['bias'].astype(dt)
+    return logits
+
+
 def dit_head_fn(cfg: DITConfig, params, hidden_rows, c):
     """Apply the DIT output head to gathered hidden rows (B, D).
 
@@ -318,17 +358,5 @@ def dit_head_fn(cfg: DITConfig, params, hidden_rows, c):
     outside the module — used by the first-hitting sampler to project
     only the positions being decoded.
     """
-    h32 = hidden_rows.astype(jnp.float32)
-    mean = h32.mean(-1, keepdims=True)
-    var = h32.var(-1, keepdims=True)
-    h = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
-    h = (h * params['norm_final']['weight']).astype(hidden_rows.dtype)
-    if cfg.use_adaLN and 'final_adaLN' in params:
-        mod = c @ params['final_adaLN']['kernel'] \
-            + params['final_adaLN']['bias']
-        shift, scale = jnp.split(mod, 2, axis=-1)
-        h = h * (1 + scale) + shift
-    h = h.astype(cfg.logits_dtype)
-    logits = h @ params['output_linear']['kernel'].astype(
-        cfg.logits_dtype) + params['output_linear']['bias']
-    return logits.astype(jnp.float32)
+    feats = dit_head_features(cfg, params, hidden_rows, c)
+    return dit_head_matmul(cfg, params, feats).astype(jnp.float32)

@@ -37,6 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _mix32(x):
+    """murmur3 fmix32 finalizer (int32 wraparound arithmetic).
+
+    The hardware PRNG gives no guarantee that *nearby* seeds produce
+    decorrelated streams, and the per-(grid-cell) seeds are the
+    sequential `seed + b*65537 + i` — hash them through an avalanche
+    finalizer so every grid cell (and every step's base seed) lands on
+    an uncorrelated stream."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)          # 0x85ebca6b
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)          # 0xc2b2ae35
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def _seed_cell(seed_ref, b, i):
+    pltpu.prng_seed(_mix32(seed_ref[0] + jnp.int32(65537) * b + i))
+
+
 def _gumbel(shape):
     """Standard Gumbel noise from the on-chip PRNG. int32 all the way
     (Mosaic has no uint32<->f32 path): logical-shift the random bits
@@ -63,10 +83,16 @@ def _row_sample(perturbed, vocab_size):
 
 
 def _absorbing_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, logits_ref,
-                      out_ref, *, vocab_size: int, mask_index: int):
+                      *refs, vocab_size: int, mask_index: int,
+                      external_gumbel: bool):
+    # refs = (gumbel_ref, out_ref) when external_gumbel else (out_ref,)
+    # — an external-noise path exists so CPU tests can run the kernel
+    # under the plain interpreter with exact expected values (the
+    # on-chip PRNG has no CPU lowering and the TPU interpreter's
+    # device-barrier emulation deadlocks intermittently).
+    out_ref = refs[-1]
     b = pl.program_id(0)
     i = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + b * 65537 + i)
 
     logits = logits_ref[...].astype(jnp.float32)  # (1, TL, Vp)
     v_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape,
@@ -87,38 +113,39 @@ def _absorbing_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, logits_ref,
 
     log_q = jnp.where(is_mask, log_stay,
                       masked_logits - lse + log_move)
-    perturbed = log_q + _gumbel(logits.shape)
-    xs = _row_sample(perturbed, vocab_size)
+    if external_gumbel:
+        g = refs[0][...].astype(jnp.float32)
+    else:
+        _seed_cell(seed_ref, b, i)
+        g = _gumbel(logits.shape)
+    xs = _row_sample(log_q + g, vocab_size)
 
     xt = xt_ref[0, 0, 0, :]
     out_ref[0, 0, 0, :] = jnp.where(xt != mask_index, xt, xs[0])
 
 
 def _cfg_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, gamma_ref,
-                logits_c_ref, logits_u_ref, out_ref, *,
-                vocab_size: int, mask_index: int):
+                logits_c_ref, logits_u_ref, *refs,
+                vocab_size: int, mask_index: int,
+                external_gumbel: bool):
+    out_ref = refs[-1]
     b = pl.program_id(0)
     i = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + b * 65537 + i)
 
     v_ids = jax.lax.broadcasted_iota(
         jnp.int32, logits_c_ref.shape, len(logits_c_ref.shape) - 1)
     is_mask = v_ids == mask_index
     valid = v_ids < vocab_size
 
-    def logp(ref):
-        lg = jnp.where(is_mask | ~valid, NEG,
-                       ref[...].astype(jnp.float32))
-        m = jnp.max(lg, axis=-1, keepdims=True)
-        lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1,
-                                  keepdims=True))
-        return lg - lse
-
     gamma = gamma_ref[0]
-    # logit-space interpolation of x_theta (diffusion.py:1475-1477);
-    # the posterior shift log(mct-mcs) needs the mixture renormalized,
-    # so take LSE of the mixed logits too.
-    mixed = gamma * logp(logits_c_ref) + (1 - gamma) * logp(logits_u_ref)
+    # logit-space interpolation of x_theta (diffusion.py:1475-1477).
+    # softmax(g*logp_c + (1-g)*logp_u) == softmax(g*lc + (1-g)*lu):
+    # the per-row log-partition constants g*LSE_c + (1-g)*LSE_u shift
+    # every channel equally and cancel in the renormalization, so ONE
+    # log-sum-exp over the raw mixture suffices (the reference's two
+    # inner log_softmax passes are per-row constants in disguise).
+    mixed = (gamma * logits_c_ref[...].astype(jnp.float32)
+             + (1 - gamma) * logits_u_ref[...].astype(jnp.float32))
     mixed = jnp.where(is_mask | ~valid, NEG, mixed)
     m = jnp.max(mixed, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(mixed - m), axis=-1,
@@ -128,34 +155,34 @@ def _cfg_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, gamma_ref,
     mcs = mcs_ref[b]
     log_q = jnp.where(is_mask, jnp.log(mcs),
                       mixed - lse + jnp.log(mct - mcs))
-    xs = _row_sample(log_q + _gumbel(mixed.shape), vocab_size)
+    if external_gumbel:
+        g = refs[0][...].astype(jnp.float32)
+    else:
+        _seed_cell(seed_ref, b, i)
+        g = _gumbel(mixed.shape)
+    xs = _row_sample(log_q + g, vocab_size)
     xt = xt_ref[0, 0, 0, :]
     out_ref[0, 0, 0, :] = jnp.where(xt != mask_index, xt, xs[0])
 
 
-def _pad_v(x, multiple=128):
-    v = x.shape[-1]
-    pad = (-v) % multiple
-    if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
-                    constant_values=NEG)
-    return x
-
-
-@functools.partial(jax.jit, static_argnames=('mask_index', 'tile_l'))
+@functools.partial(jax.jit,
+                   static_argnames=('mask_index', 'tile_l', 'interpret'))
 def fused_absorbing_sample(seed, xt, logits, move_chance_t,
                            move_chance_s, *, mask_index: int,
-                           tile_l: int = 16):
+                           tile_l: int = 16, interpret=False,
+                           gumbel=None):
     """Fused SUBS + posterior + Gumbel-argmax + copy-over.
 
-    seed: int32 scalar; xt: (B, L) int32; logits: (B, L, V);
-    move_chance_*: (B,) fp32. Returns xs (B, L) int32. Equivalent in
-    distribution to the unfused reference chain.
+    seed: int32 scalar; xt: (B, L) int32; logits: (B, L, V) fp32 or
+    bf16 (read once, upcast in VMEM); move_chance_*: (B,) fp32.
+    Returns xs (B, L) int32. Equivalent in distribution to the unfused
+    reference chain. V needn't be 128-aligned: the edge of the last
+    lane tile is masked in-kernel (`v_ids < vocab_size`), so no padded
+    copy of the logits ever hits HBM.
     """
     B, L, V = logits.shape
     assert L % tile_l == 0, (L, tile_l)
-    logits = _pad_v(logits)
-    Vp = logits.shape[-1]
+    Vp = V
     n_tiles = L // tile_l
     grid = (B, n_tiles)
     # int32 token blocks cannot satisfy the (8, 128) VMEM tiling at
@@ -163,70 +190,87 @@ def fused_absorbing_sample(seed, xt, logits, move_chance_t,
     # trailing array dims exactly (allowed by the Mosaic tiling rule).
     xt4 = xt.reshape(B, n_tiles, 1, tile_l)
     kernel = functools.partial(_absorbing_kernel, vocab_size=V,
-                               mask_index=mask_index)
+                               mask_index=mask_index,
+                               external_gumbel=gumbel is not None)
+    logits_spec = pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, tile_l),
+                     lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        logits_spec,
+    ]
+    args = [jnp.asarray([seed], jnp.int32), xt4,
+            move_chance_t.astype(jnp.float32),
+            move_chance_s.astype(jnp.float32), logits]
+    if gumbel is not None:
+        in_specs.append(logits_spec)
+        args.append(gumbel)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, tile_l),
-                         lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, tile_l),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, tile_l),
                                        jnp.int32),
-    )(jnp.asarray([seed], jnp.int32), xt4,
-      move_chance_t.astype(jnp.float32),
-      move_chance_s.astype(jnp.float32), logits)
+        interpret=interpret,
+    )(*args)
     return out.reshape(B, L)
 
 
-@functools.partial(jax.jit, static_argnames=('mask_index', 'tile_l'))
+@functools.partial(jax.jit,
+                   static_argnames=('mask_index', 'tile_l', 'interpret'))
 def fused_absorbing_cfg_sample(seed, xt, logits_cond, logits_uncond,
                                gamma, move_chance_t, move_chance_s, *,
-                               mask_index: int, tile_l: int = 16):
+                               mask_index: int, tile_l: int = 16,
+                               interpret=False, gumbel=None):
     """CFG variant: fused gamma-interpolation + softmax + posterior +
-    Gumbel-argmax + copy-over (diffusion.py:1475-1480)."""
+    Gumbel-argmax + copy-over (diffusion.py:1475-1480). Single-LSE
+    mixture math (see _cfg_kernel); logits may be bf16."""
     B, L, V = logits_cond.shape
     assert L % tile_l == 0, (L, tile_l)
-    logits_cond = _pad_v(logits_cond)
-    logits_uncond = _pad_v(logits_uncond)
-    Vp = logits_cond.shape[-1]
+    Vp = V
     n_tiles = L // tile_l
     grid = (B, n_tiles)
     xt4 = xt.reshape(B, n_tiles, 1, tile_l)
     kernel = functools.partial(_cfg_kernel, vocab_size=V,
-                               mask_index=mask_index)
+                               mask_index=mask_index,
+                               external_gumbel=gumbel is not None)
+    logits_spec = pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, tile_l),
+                     lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        logits_spec,
+        logits_spec,
+    ]
+    args = [jnp.asarray([seed], jnp.int32), xt4,
+            move_chance_t.astype(jnp.float32),
+            move_chance_s.astype(jnp.float32),
+            jnp.asarray([gamma], jnp.float32), logits_cond,
+            logits_uncond]
+    if gumbel is not None:
+        in_specs.append(logits_spec)
+        args.append(gumbel)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, tile_l),
-                         lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_l, Vp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, tile_l),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, tile_l),
                                        jnp.int32),
-    )(jnp.asarray([seed], jnp.int32), xt4,
-      move_chance_t.astype(jnp.float32),
-      move_chance_s.astype(jnp.float32),
-      jnp.asarray([gamma], jnp.float32), logits_cond, logits_uncond)
+        interpret=interpret,
+    )(*args)
     return out.reshape(B, L)

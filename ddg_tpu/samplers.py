@@ -36,9 +36,12 @@ from ddg_tpu.ops.fused_sampling import (fused_absorbing_cfg_sample,
 
 def _raw_logits(spec, model_apply, params, xt, sigma, cond=None):
     """Denoiser forward WITHOUT the parameterization transform — the
-    fused kernel consumes raw logits directly."""
+    fused kernel consumes raw logits directly, in bf16: the (B, L, V)
+    tensor is the dominant HBM term of a sampling step (~0.5 GB at the
+    LM1B scale), so it is stored/carried at half width and upcast
+    inside the kernel's VMEM (fp32 math on-chip)."""
     return model_apply(params, xt, process_sigma(spec, sigma), cond,
-                       None, train=False, rng=None).astype(jnp.float32)
+                       None, train=False, rng=None).astype(jnp.bfloat16)
 
 
 def _fused_ok(spec, sampler, guidance):
@@ -120,6 +123,20 @@ def _sample_and_copy(spec: DiffusionSpec, sampler: SamplerSpec, key,
     return xs
 
 
+def _cached(compute, cache, cache_valid):
+    """NFE-cache combinator: reuse `cache` while the last step changed
+    nothing (reference diffusion.py:1371-1374), else recompute.
+    Returns (value, new_cache). cache_valid=None disables caching at
+    trace time: no lax.cond is emitted and the zero-size dummy cache
+    passes through — otherwise a full (B, L, V) logits tensor rides
+    the scan carry for nothing (the cache ~never fires at batch
+    sizes >= 32: P(no decode event in a step) ~ exp(-B*L/T))."""
+    if cache_valid is None:
+        return compute(None), cache
+    val = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+    return val, val
+
+
 # ---------------------------------------------------------------------------
 # Denoise-step variants. Each returns (xs, cache_pytree).
 # ---------------------------------------------------------------------------
@@ -130,31 +147,64 @@ def _ddpm_step(spec, sampler, model_apply, params, key, xt, sigma_t,
         def compute(_):
             return _raw_logits(spec, model_apply, params, xt, sigma_t)
 
-        logits = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+        logits, new_cache = _cached(compute, cache, cache_valid)
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
         xs = fused_absorbing_sample(
             seed, xt, logits, mct[:, 0, 0], mcs[:, 0, 0],
             mask_index=spec.mask_index)
-        return xs, logits
+        return xs, new_cache
 
     def compute(_):
         out = log_x_theta(spec, model_apply, params, xt, sigma_t)
         return out.astype(_sample_dtype(sampler))
 
-    log_xt = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+    log_xt, new_cache = _cached(compute, cache, cache_valid)
     x_theta = jnp.exp(log_xt)
     q_xs = _posterior_probs(spec, x_theta, xt, mct, mcs)
     xs = _sample_and_copy(spec, sampler, key, q_xs, xt)
-    return xs, log_xt
+    return xs, new_cache
 
 
 def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
-              sigma_t, mct, mcs, cond, cache, cache_valid):
+              sigma_t, mct, mcs, cond, cache, cache_valid,
+              dit_cfg=None):
     """D-CFG (diffusion.py:1422-1509). gamma in {0,1} fast-paths to a
     single forward; otherwise one batched cond+uncond forward."""
     gamma = guidance.gamma
     dt = _sample_dtype(sampler)
     null_cond = jnp.full_like(cond, spec.num_classes)
+
+    if (_fused_ok(spec, sampler, guidance) and gamma not in (0.0, 1.0)
+            and dit_cfg is not None and cache_valid is None):
+        # Feature-mix fast path: the output head is linear in its
+        # (normed + modulated) features, so
+        #   gamma*logits_c + (1-gamma)*logits_u
+        #     == (gamma*feat_c + (1-gamma)*feat_u) @ W + bias.
+        # Mixing the (2B, L, D) features instead of the (2B, L, V)
+        # logits halves the vocab matmul AND halves the logits HBM
+        # round-trip (V/D ~ 40x at the LM1B scale). Same distribution
+        # as the logit-mix path (reference diffusion.py:1475-1480).
+        from ddg_tpu.models.dit import (dit_head_features,
+                                        dit_head_matmul)
+
+        x2 = jnp.concatenate([xt, xt], axis=0)
+        s2 = jnp.concatenate([sigma_t, sigma_t], axis=0)
+        c2 = jnp.concatenate([cond, null_cond], axis=0)
+        hidden2, cvec2 = model_apply(
+            params, x2, process_sigma(spec, s2), c2, None,
+            train=False, rng=None, skip_head=True)
+        feats2 = dit_head_features(dit_cfg, params, hidden2, cvec2)
+        B = xt.shape[0]
+        fmix = (gamma * feats2[:B].astype(jnp.float32)
+                + (1 - gamma) * feats2[B:].astype(jnp.float32))
+        logits_mix = dit_head_matmul(
+            dit_cfg, params, fmix.astype(feats2.dtype)
+        ).astype(jnp.bfloat16)
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        xs = fused_absorbing_sample(
+            seed, xt, logits_mix, mct[:, 0, 0], mcs[:, 0, 0],
+            mask_index=spec.mask_index)
+        return xs, cache
 
     if _fused_ok(spec, sampler, guidance) and gamma not in (0.0, 1.0):
         def compute(_):
@@ -163,13 +213,13 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
             c2 = jnp.concatenate([cond, null_cond], axis=0)
             return _raw_logits(spec, model_apply, params, x2, s2, c2)
 
-        logits2 = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+        logits2, new_cache = _cached(compute, cache, cache_valid)
         B = xt.shape[0]
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
         xs = fused_absorbing_cfg_sample(
             seed, xt, logits2[:B], logits2[B:], gamma,
             mct[:, 0, 0], mcs[:, 0, 0], mask_index=spec.mask_index)
-        return xs, logits2
+        return xs, new_cache
 
     if gamma == 0.0 or gamma == 1.0:
         use_cond = cond if gamma == 1.0 else null_cond
@@ -179,11 +229,11 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
                               cond=use_cond)
             return out.astype(dt)
 
-        log_xt = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+        log_xt, new_cache = _cached(compute, cache, cache_valid)
         x_theta = jnp.exp(log_xt)
         q_xs = _posterior_probs(spec, x_theta, xt, mct, mcs)
         xs = _sample_and_copy(spec, sampler, key, q_xs, xt)
-        return xs, log_xt
+        return xs, new_cache
 
     def compute(_):
         # Single forward at 2B: [cond; uncond] on the batch axis.
@@ -193,7 +243,7 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
         out = log_x_theta(spec, model_apply, params, x2, s2, cond=c2)
         return out.astype(dt)
 
-    log_both = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+    log_both, new_cache = _cached(compute, cache, cache_valid)
     B = xt.shape[0]
     log_cond, log_uncond = log_both[:B], log_both[B:]
 
@@ -213,7 +263,7 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
         q_xs = jax.nn.softmax(gamma * log_q_c + (1 - gamma) * log_q_u,
                               axis=-1)
     xs = _sample_and_copy(spec, sampler, key, q_xs, xt)
-    return xs, log_both
+    return xs, new_cache
 
 
 def _posterior_log(spec, log_xt, xt, mct, mcs):
@@ -292,7 +342,7 @@ def _cbg_step(spec, sampler, guidance, model_apply, params,
                 chunk=guidance.cbg_chunk).astype(dt)
         return log_xt, clf
 
-    log_xt, clf = jax.lax.cond(cache_valid, lambda c: c, compute, cache)
+    (log_xt, clf), new_cache = _cached(compute, cache, cache_valid)
     diffusion_log_probs = _posterior_log(spec, log_xt, xt, mct, mcs)
     guided = guidance.gamma * clf + diffusion_log_probs
     if spec.diffusion == 'absorbing_state':
@@ -300,7 +350,7 @@ def _cbg_step(spec, sampler, guidance, model_apply, params,
                                         mask_index=spec.mask_index)
     guided_probs = jax.nn.softmax(guided, axis=-1)
     xs = _sample_and_copy(spec, sampler, key, guided_probs, xt)
-    return xs, (log_xt, clf)
+    return xs, new_cache
 
 
 def _nos_step(spec, sampler, guidance, model_apply, params,
@@ -380,8 +430,13 @@ def _nos_step(spec, sampler, guidance, model_apply, params,
 # ---------------------------------------------------------------------------
 
 def _init_cache(spec, sampler, guidance, batch_size, length, *,
-                classifier=False):
-    dt = _sample_dtype(sampler)
+                classifier=False, fused=False, enabled=True):
+    # The fused path caches *raw* bf16 logits (see _raw_logits); the
+    # unfused path caches fp32/fp64 log-probs. Caching disabled =>
+    # zero-size dummy so nothing rides the scan carry (see _cached).
+    if not enabled:
+        return jnp.zeros((0,), jnp.float32)
+    dt = jnp.bfloat16 if fused else _sample_dtype(sampler)
     shape = (batch_size, length, spec.vocab_size)
     if guidance is not None and guidance.method == 'cfg' \
             and guidance.gamma not in (0.0, 1.0):
@@ -419,11 +474,18 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
     use_cache = sampler.use_cache and spec.diffusion == 'absorbing_state' \
         and method in (None, 'cfg', 'cbg')
 
+    fused_active = _fused_ok(spec, sampler, guidance) and (
+        method is None
+        or (method == 'cfg' and guidance.gamma not in (0.0, 1.0)))
     cache0 = _init_cache(spec, sampler, guidance, batch_size, length,
-                         classifier=(method == 'cbg'))
+                         classifier=(method == 'cbg'),
+                         fused=fused_active, enabled=use_cache)
 
     def step_fn(carry, i):
-        xt, cache, cache_valid, k = carry
+        xt, cache, valid_flag, k = carry
+        # None disables the cache at trace time (see _cached): no
+        # lax.cond, no (B, L, V) tensor in the carry.
+        cache_valid = valid_flag if use_cache else None
         k, step_key = jax.random.split(k)
         t = timesteps[i]
         if spec.T > 0:
@@ -441,7 +503,8 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
         elif method == 'cfg':
             xs, new_cache = _cfg_step(
                 spec, sampler, guidance, model_apply, params, step_key,
-                xt, sigma_t, mct, mcs, cond, cache, cache_valid)
+                xt, sigma_t, mct, mcs, cond, cache, cache_valid,
+                dit_cfg=dit_cfg)
         elif method == 'cbg':
             xs, new_cache = _cbg_step(
                 spec, sampler, guidance, model_apply, params,

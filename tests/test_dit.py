@@ -117,3 +117,43 @@ def test_adapters():
     cparams = _init(clf, x, sigma)
     capply = make_classifier_apply(clf)
     assert capply(cparams, x, sigma).shape == (2, 3)
+
+
+def test_cfg_feature_mix_equals_logit_mix():
+    """The output head is linear in its (normed + modulated) features,
+    so gamma-mixing features before ONE vocab matmul must equal
+    gamma-mixing the cond/uncond logits (the CFG fast path in
+    samplers._cfg_step; reference logit-space interpolation,
+    diffusion.py:1475-1480)."""
+    from ddg_tpu.models.dit import dit_head_features, dit_head_matmul
+
+    cfg = DITConfig(hidden_size=32, cond_dim=16, length=16, n_blocks=2,
+                    n_heads=2, dropout=0.0, vocab_size=11,
+                    num_classes=3, compute_dtype=jnp.float32)
+    model = DIT(cfg)
+    x = jax.random.randint(KEY, (2, 16), 0, 11)
+    sigma = jnp.ones((2,))
+    cond = jnp.asarray([0, 1])
+    null = jnp.asarray([3, 3])
+    params = _init(model, x, sigma, cond)
+    # Head is zero-init: perturb so the check is non-trivial.
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(KEY, p.shape), params)
+    gamma = 2.0
+
+    lc = model.apply({'params': params}, x, sigma, cond)
+    lu = model.apply({'params': params}, x, sigma, null)
+    logits_mix = gamma * lc + (1 - gamma) * lu
+
+    x2 = jnp.concatenate([x, x], axis=0)
+    s2 = jnp.concatenate([sigma, sigma], axis=0)
+    c2 = jnp.concatenate([cond, null], axis=0)
+    hidden2, cvec2 = model.apply({'params': params}, x2, s2, c2,
+                                 skip_head=True)
+    feats2 = dit_head_features(cfg, params, hidden2, cvec2)
+    fmix = gamma * feats2[:2] + (1 - gamma) * feats2[2:]
+    logits_fmix = dit_head_matmul(cfg, params, fmix)
+
+    np.testing.assert_allclose(np.asarray(logits_mix),
+                               np.asarray(logits_fmix),
+                               atol=2e-4, rtol=1e-4)

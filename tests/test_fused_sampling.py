@@ -1,0 +1,109 @@
+"""CPU tests for the fused Pallas denoise-step kernels
+(ddg_tpu/ops/fused_sampling.py).
+
+The kernels accept an optional pre-drawn Gumbel tensor (the production
+path generates noise on-chip with the TPU PRNG, which has no CPU
+lowering — and the TPU-interpreter alternative deadlocks intermittently
+in its device-barrier emulation). With external noise the kernel is a
+deterministic function, so the plain Pallas interpreter can check it
+EXACTLY against the unfused jnp chain (the math the reference computes
+at diffusion.py:1378-1420, 1475-1480). On-chip-PRNG distribution
+validation lives in scripts/validate_fused_tpu.py (real chip).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddg_tpu.ops.fused_sampling import (fused_absorbing_cfg_sample,
+                                        fused_absorbing_sample)
+
+B, L, V = 4, 32, 133          # V deliberately not 128-aligned
+MASK = V - 1
+
+
+def _setup(seed=0):
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(seed), 5)
+    logits = jax.random.normal(k1, (B, L, V), jnp.float32) * 4.0
+    x0 = jax.random.randint(k2, (B, L), 0, V - 1)
+    masked = jax.random.uniform(k3, (B, L)) < 0.6
+    xt = jnp.where(masked, MASK, x0)
+    mct = jax.random.uniform(k4, (B,), minval=0.4, maxval=0.9)
+    mcs = mct * 0.6
+    gumbel = jax.random.gumbel(k5, (B, L, V), jnp.float32)
+    return logits, xt, mct, mcs, gumbel
+
+
+def _expected(log_q, gumbel, xt):
+    """Gumbel-max + copy-over, the unfused chain's sampling step."""
+    xs = jnp.argmax(log_q + gumbel, axis=-1).astype(jnp.int32)
+    return jnp.where(xt != MASK, xt, xs)
+
+
+def _subs_log_q(logits, mct, mcs):
+    """Unfused reference chain: SUBS log-probs -> absorbing posterior
+    (log space), without the copy-over (applied separately)."""
+    lg = jnp.where(jnp.arange(V)[None, None] == MASK, -1e30, logits)
+    log_p = jax.nn.log_softmax(lg, axis=-1)
+    move = jnp.log(mct - mcs)[:, None, None]
+    stay = jnp.log(mcs)[:, None, None]
+    return jnp.where(jnp.arange(V)[None, None] == MASK,
+                     stay, log_p + move)
+
+
+def test_fused_absorbing_matches_unfused_chain():
+    logits, xt, mct, mcs, gumbel = _setup()
+    out = fused_absorbing_sample(123, xt, logits, mct, mcs,
+                                 mask_index=MASK, interpret=True,
+                                 gumbel=gumbel)
+    expect = _expected(_subs_log_q(logits, mct, mcs), gumbel, xt)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+def test_fused_absorbing_bf16_logits():
+    logits, xt, mct, mcs, gumbel = _setup(seed=1)
+    lg16 = logits.astype(jnp.bfloat16)
+    out = fused_absorbing_sample(5, xt, lg16, mct, mcs,
+                                 mask_index=MASK, interpret=True,
+                                 gumbel=gumbel)
+    expect = _expected(
+        _subs_log_q(lg16.astype(jnp.float32), mct, mcs), gumbel, xt)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+@pytest.mark.parametrize('gamma', [2.0, 0.5, -1.0])
+def test_fused_cfg_matches_unfused_chain(gamma):
+    logits, xt, mct, mcs, gumbel = _setup(seed=2)
+    logits_u = jax.random.normal(jax.random.PRNGKey(9), (B, L, V)) * 4.0
+    out = fused_absorbing_cfg_sample(
+        77, xt, logits, logits_u, gamma, mct, mcs, mask_index=MASK,
+        interpret=True, gumbel=gumbel)
+    # Reference math (diffusion.py:1475-1480): interpolate log_softmax
+    # probs, renormalize, then posterior. The kernel's single-LSE raw
+    # mixture is mathematically identical; check against the two-pass
+    # formulation to prove the identity holds.
+    def logp(lg):
+        lg = jnp.where(jnp.arange(V)[None, None] == MASK, -1e30, lg)
+        return jax.nn.log_softmax(lg, axis=-1)
+
+    mixed = gamma * logp(logits) + (1 - gamma) * logp(logits_u)
+    log_mix = jax.nn.log_softmax(
+        jnp.where(jnp.arange(V)[None, None] == MASK, -1e30, mixed),
+        axis=-1)
+    move = jnp.log(mct - mcs)[:, None, None]
+    stay = jnp.log(mcs)[:, None, None]
+    log_q = jnp.where(jnp.arange(V)[None, None] == MASK,
+                      stay, log_mix + move)
+    expect = _expected(log_q, gumbel, xt)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+def test_fused_copy_over_and_range():
+    logits, xt, mct, mcs, gumbel = _setup(seed=3)
+    out = np.asarray(fused_absorbing_sample(
+        1, xt, logits, mct, mcs, mask_index=MASK, interpret=True,
+        gumbel=gumbel))
+    keep = np.asarray(xt) != MASK
+    np.testing.assert_array_equal(out[keep], np.asarray(xt)[keep])
+    assert out.min() >= 0 and out.max() < V
