@@ -44,6 +44,10 @@ class ClassifierSpec:
     change_of_variables: bool = False
     use_label_smoothing: bool = False   # time-dependent smoothing
     is_fudge_classifier: bool = False
+    # Eval classifiers (the reference's HyenaDNA Species10 judge,
+    # classifier.py:166-178 + scripts/train_ten_species_eval_classifier
+    # .sh) train on CLEAN sequences with no time conditioning.
+    is_eval_classifier: bool = False
 
 
 def process_sigma(spec: ClassifierSpec, sigma):
@@ -74,8 +78,9 @@ def classifier_loss_fn(spec: ClassifierSpec, classifier_apply, params,
     t_rng, q_rng, model_rng = jax.random.split(rng, 3)
 
     t = None
-    if spec.parameterization == 'ar':
-        # FUDGE/PPLM classifiers train on clean prefixes.
+    if spec.parameterization == 'ar' or spec.is_eval_classifier:
+        # FUDGE/PPLM classifiers train on clean prefixes; eval
+        # classifiers (Species10 judge) on clean full sequences.
         logits = classifier_apply(params, x0, None,
                                   attention_mask=attention_mask,
                                   train=train, rng=model_rng)

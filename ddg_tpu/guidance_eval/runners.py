@@ -169,6 +169,39 @@ def ten_species_eval(spec, sampler: SamplerSpec, model_apply, params,
     return result
 
 
+def make_eval_classifier(clf_apply, params, tokenizer, *, length: int,
+                         batch_size: int = 8) -> Callable:
+    """texts -> predicted class labels using a trained eval classifier
+    (the pinned Species10 judge; the reference's HyenaDNA classifier,
+    guidance_eval/ten_species_eval.py:468-478). Inputs are CLEAN
+    sequences — no sigma conditioning (classifier.py:166-178)."""
+
+    @jax.jit
+    def _logits(x):
+        return clf_apply(params, x, None)
+
+    pad = getattr(tokenizer, 'pad_token_id', 0)
+
+    def encode(text):
+        ids = tokenizer.encode(text, add_special_tokens=False)[:length]
+        return np.pad(np.asarray(ids, np.int32), (0, length - len(ids)),
+                      constant_values=pad)
+
+    def fn(texts):
+        ids = np.stack([encode(t) for t in texts])
+        out = []
+        for i in range(0, len(ids), batch_size):
+            chunk = ids[i:i + batch_size]
+            n = len(chunk)
+            if n < batch_size:  # static shapes: pad the last batch
+                chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
+            logits = np.asarray(_logits(jnp.asarray(chunk)))
+            out.extend(logits[:n].argmax(-1).tolist())
+        return out
+
+    return fn
+
+
 def _write_results(path: str, results: List[Dict]) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if path.endswith('.json'):

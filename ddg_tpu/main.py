@@ -177,6 +177,12 @@ def build_model(config: Config, spec: DiffusionSpec, *,
                 mc.get('bidirectional_weight_tie', True)),
             tie_word_embeddings=bool(
                 mc.get('tie_word_embeddings', False)),
+            d_state=int(mc.get('d_state', 16)),
+            d_conv=int(mc.get('d_conv', 4)),
+            expand=int(mc.get('expand', 2)),
+            scan_chunk=int(mc.get('scan_chunk', 128)),
+            pallas_scan=mc.get('pallas_scan', 'auto'),
+            dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
                            else jnp.float32))
@@ -240,6 +246,12 @@ def build_classifier_model(config: Config, spec):
                                           'add'),
             bidirectional_weight_tie=bool(
                 mc.get('bidirectional_weight_tie', True)),
+            d_state=int(mc.get('d_state', 16)),
+            d_conv=int(mc.get('d_conv', 4)),
+            expand=int(mc.get('expand', 2)),
+            scan_chunk=int(mc.get('scan_chunk', 128)),
+            pallas_scan=mc.get('pallas_scan', 'auto'),
+            dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
                            else jnp.float32))
@@ -465,7 +477,12 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
     every_n = int(cbs.get('checkpoint_every_n_steps', Config({})).get(
         'every_n_train_steps', 500) if cbs.get(
         'checkpoint_every_n_steps') else 500)
-    ckpt = CheckpointManager(save_dir, every_n_steps=every_n)
+    snap_every = int(config.checkpointing.get(
+        'snapshot_every_n_steps', 0))
+    ckpt = CheckpointManager(
+        save_dir, every_n_steps=every_n,
+        max_to_keep=int(config.checkpointing.get(
+            'snapshot_max_to_keep', 0)) or None)
 
     # Resume (reference main.py:195-201 + fault-tolerant samplers).
     if (bool(config.checkpointing.resume_from_ckpt)
@@ -569,6 +586,9 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                                         model_cfg=model_cfg)
         ckpt.maybe_save_last(step, state,
                              loader_state=loader.state_dict())
+        if snap_every and step % snap_every == 0:
+            ckpt.save_step_snapshot(
+                step, state, loader_state=loader.state_dict())
     ckpt.save('last', state, loader_state=loader.state_dict())
     metrics_log.close()
     return state
@@ -682,7 +702,9 @@ def train_classifier(config: Config):
         use_label_smoothing=bool(config.training.get(
             'use_label_smoothing', False)),
         is_fudge_classifier=bool(config.get('is_fudge_classifier',
-                                            False)))
+                                            False)),
+        is_eval_classifier=bool(config.get('is_eval_classifier',
+                                           False)))
     model, model_cfg, apply_fn = build_classifier_model(config, dspec)
     data = build_data(config)
     optim_spec = build_optim_spec(config)
@@ -693,7 +715,9 @@ def train_classifier(config: Config):
                                  seed=int(config.seed))
     rng = jax.random.PRNGKey(int(config.seed))
     ex = next(iter(loader))
-    sigma0 = None if clf_spec.parameterization == 'ar' else jnp.ones((1,))
+    sigma0 = (None if (clf_spec.parameterization == 'ar'
+                       or clf_spec.is_eval_classifier)
+              else jnp.ones((1,)))
     params = model.init(rng, jnp.asarray(
         ex['input_ids'][:1].astype(np.int32)), sigma0)['params']
 
@@ -748,6 +772,25 @@ def train_classifier(config: Config):
     ckpt.save('last', state)
     metrics_log.close()
     return state
+
+
+def restore_eval_classifier(config: Config, path: str):
+    """Load a clean-sequence eval classifier (the pinned Species10
+    judge trained by scripts/train_ten_species_eval_classifier.sh;
+    reference ten_species_eval.py:468-478 loads its HyenaDNA judge
+    checkpoint). Returns (clf_apply, params)."""
+    tokenizer = build_tokenizer(config)
+    dspec = build_diffusion_spec(config, tokenizer)
+    model, _, clf_apply = build_classifier_model(config, dspec)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, int(config.classifier_model.length)), jnp.int32)
+    params = model.init(rng, x0, None)['params']
+    state = init_train_state(rng, params, build_optim_spec(config),
+                             build_averaging_spec(config))
+    name = os.path.basename(path.rstrip('/'))
+    ckpt = CheckpointManager(os.path.dirname(path.rstrip('/')))
+    state, _ = ckpt.restore(name, state)
+    return clf_apply, state.params
 
 
 def _restore_classifier_for_sampling(config: Config):

@@ -275,6 +275,47 @@ class TestPplEvalAll:
 
 
 class TestLCSC:
+    def test_lcsc_mode_from_config(self, tmp_path):
+        """mode=lcsc end-to-end: the train loop writes the step-N
+        snapshot trail (checkpointing.snapshot_every_n_steps; the
+        reference's every-n-steps callback with save_top_k=-1), and
+        the search runs PPL fitness over it and saves lcsc-merged
+        (reference main.py:110-183). The initial population contains
+        the zero vector, so best_score <= PPL(theta_0)."""
+        cfg = _tiny_config(tmp_path, extra=(
+            'checkpointing.snapshot_every_n_steps=2',))
+        M.train(cfg)
+        from ddg_tpu.runtime.checkpoint import CheckpointManager
+        mgr = CheckpointManager(f'{tmp_path}/run/checkpoints')
+        snaps = mgr.list_snapshots()
+        assert len(snaps) >= 3, snaps
+        lcfg = _tiny_config(tmp_path, extra=(
+            'mode=lcsc',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last',
+            '+lcsc.metric=ppl', '+lcsc.fitness_batches=2',
+            '+lcsc.population_size=4', '+lcsc.iterations=2',
+            '+lcsc.offspring_per_iter=4'))
+        res = M.lcsc_search(lcfg)
+        assert len(res['alphas']) == len(snaps) - 1
+        assert np.isfinite(res['score'])
+        assert os.path.isdir(f'{tmp_path}/run/checkpoints/lcsc-merged')
+        # Searching cannot do worse than theta_0 alone (zero vector is
+        # candidate #0): re-evaluate theta_0's fitness and compare.
+        tokenizer = M.build_tokenizer(lcfg)
+        spec = M.build_diffusion_spec(lcfg, tokenizer)
+        _, _, apply_fn, state, _ = M._restore_for_eval(lcfg)
+        st0, _ = mgr.restore(f'step-{snaps[0]}', state)
+        import dataclasses as _dc
+        from ddg_tpu.runtime.averaging import averaged_params
+        base_st = _dc.replace(
+            state, params=averaged_params(st0.averaging, st0.params),
+            averaging=None)
+        data = M.build_data(lcfg)
+        m0 = M.validate(lcfg, spec, apply_fn, base_st, data['valid'],
+                        rng=jax.random.PRNGKey(int(lcfg.seed)),
+                        max_batches=2)
+        assert res['score'] <= m0.ppl * 1.0001
+
     def test_combine_and_search(self):
         from ddg_tpu.lcsc import combine_checkpoints_diff, run_lcsc
         import jax.numpy as jnp
