@@ -22,9 +22,16 @@ def get_logger(name: str = 'ddg_tpu',
         logger.addHandler(handler)
     logger.setLevel(level)
     try:
-        import jax
-        if jax.process_index() != 0:
-            logger.setLevel(logging.ERROR)
+        # Only consult the process index if a backend already exists:
+        # jax.process_index() would otherwise *initialize* the backend,
+        # which forbids a later jax.distributed.initialize() (multi-host
+        # init must precede any backend use). Modules that call
+        # get_logger at import time must stay init-neutral.
+        from jax._src import xla_bridge
+        if xla_bridge._backends:
+            import jax
+            if jax.process_index() != 0:
+                logger.setLevel(logging.ERROR)
     except Exception:
         pass
     return logger

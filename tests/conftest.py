@@ -24,4 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
-assert len(jax.devices()) == 8, jax.devices()
+import re  # noqa: E402
+
+_m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+               os.environ["XLA_FLAGS"])
+assert len(jax.devices()) == int(_m.group(1)), jax.devices()
