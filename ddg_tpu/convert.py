@@ -379,3 +379,70 @@ def make_reference_dimamba_state_dict(rng: 'np.random.RandomState', *,
     s[bb + 'adaLN_modulation_final.bias'] = r(2 * hidden)
     s['model.lm_head.weight'] = r(vocab, hidden)
     return s
+
+
+# ---------------------------------------------------------------------------
+# HF export/import (reference models/hf: UDLM(PreTrainedModel) wrapping
+# a DITBackbone under the `backbone.` prefix, modeling_udlm.py:438-487;
+# config keys per configuration_udlm.py:8-36). The exported folder
+# matches the kuleshov-group/udlm-* hub layout, so the reference's
+# AutoModelForMaskedLM path (README.md:240-250) loads it with the hub
+# repo's modeling code.
+# ---------------------------------------------------------------------------
+
+def export_hf_udlm(params: Dict, out_dir: str, *, vocab_size: int,
+                   model_length: int, hidden_dim: int, cond_dim: int,
+                   n_blocks: int, n_heads: int, dropout: float = 0.1,
+                   time_conditioning: bool = True,
+                   num_classes=None) -> str:
+    """ddg_tpu DIT params -> HF UDLM folder (config.json +
+    pytorch_model.bin). Returns out_dir."""
+    import json
+    import os
+
+    import torch
+
+    sd = export_dit_params(params, n_blocks=n_blocks)
+    sd = {'backbone.' + k: torch.from_numpy(
+        np.ascontiguousarray(np.asarray(v, np.float32)))
+        for k, v in sd.items()}
+    os.makedirs(out_dir, exist_ok=True)
+    config = {
+        'model_type': 'udlm',
+        'architectures': ['UDLM'],
+        'auto_map': {
+            'AutoConfig': 'configuration_udlm.UDLMConfig',
+            'AutoModelForMaskedLM': 'modeling_udlm.UDLM'},
+        'vocab_size': int(vocab_size),
+        'model_length': int(model_length),
+        'hidden_dim': int(hidden_dim),
+        'cond_dim': int(cond_dim),
+        'n_blocks': int(n_blocks),
+        'n_heads': int(n_heads),
+        'dropout': float(dropout),
+        'time_conditioning': bool(time_conditioning),
+        'cfg': num_classes is not None,
+        'cfg_num_classes': int(num_classes)
+        if num_classes is not None else -1,
+    }
+    with open(os.path.join(out_dir, 'config.json'), 'w') as f:
+        json.dump(config, f, indent=2)
+    torch.save(sd, os.path.join(out_dir, 'pytorch_model.bin'))
+    return out_dir
+
+
+def import_hf_udlm(model_dir: str):
+    """HF UDLM folder -> (ddg_tpu DIT params pytree, config dict)."""
+    import json
+    import os
+
+    import torch
+
+    with open(os.path.join(model_dir, 'config.json')) as f:
+        config = json.load(f)
+    sd = torch.load(os.path.join(model_dir, 'pytorch_model.bin'),
+                    map_location='cpu', weights_only=True)
+    sd = {re.sub(r'^backbone\.', '', k): v.numpy()
+          for k, v in sd.items()}
+    params = convert_dit_params(sd, n_blocks=int(config['n_blocks']))
+    return params, config

@@ -148,3 +148,62 @@ def test_export_roundtrip():
     for k in state:
         np.testing.assert_allclose(back[k], state[k], atol=1e-7,
                                    err_msg=k)
+
+
+def test_hf_udlm_export_import_roundtrip(tmp_path):
+    """export_hf_udlm writes the kuleshov-group/udlm-* hub layout
+    (reference models/hf/modeling_udlm.py:438-487 wraps DITBackbone
+    under `backbone.`; config keys per configuration_udlm.py:8-36);
+    import_hf_udlm restores an identical params pytree."""
+    import json
+
+    from ddg_tpu.convert import export_hf_udlm, import_hf_udlm
+    from ddg_tpu.models import DIT, DITConfig
+
+    cfg = DITConfig(hidden_size=32, cond_dim=16, length=16, n_blocks=2,
+                    n_heads=2, dropout=0.0, vocab_size=11,
+                    num_classes=3, compute_dtype=jnp.float32)
+    model = DIT(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 16), jnp.int32),
+                        jnp.ones((1,)), jnp.zeros((1,), jnp.int32)
+                        )['params']
+    params = jax.tree.map(
+        lambda p: p + 0.1 * jax.random.normal(rng, p.shape), params)
+
+    out = export_hf_udlm(
+        params, str(tmp_path / 'hf'), vocab_size=cfg.vocab_size,
+        model_length=cfg.length, hidden_dim=cfg.hidden_size,
+        cond_dim=cfg.cond_dim, n_blocks=cfg.n_blocks,
+        n_heads=cfg.n_heads, num_classes=cfg.num_classes)
+
+    with open(f'{out}/config.json') as f:
+        hf_cfg = json.load(f)
+    assert hf_cfg['model_type'] == 'udlm'
+    assert hf_cfg['cfg'] and hf_cfg['cfg_num_classes'] == 3
+    import torch
+    sd = torch.load(f'{out}/pytorch_model.bin', map_location='cpu',
+                    weights_only=True)
+    # Reference UDLM key layout (backbone.-prefixed DITBackbone).
+    assert 'backbone.vocab_embed.embedding' in sd
+    assert 'backbone.blocks.0.attn_qkv.weight' in sd
+    assert 'backbone.output_layer.linear.weight' in sd
+    assert 'backbone.cond_map.embedding_table.weight' in sd
+
+    params2, cfg2 = import_hf_udlm(out)
+    assert cfg2['hidden_dim'] == 32
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(params2)}
+    for k, v in flat1:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(v), flat2[ks],
+                                   atol=1e-6, err_msg=ks)
+    # Round-tripped params drive the model identically.
+    x = jax.random.randint(rng, (2, 16), 0, 11)
+    o1 = model.apply({'params': params}, x, jnp.ones((2,)),
+                     jnp.zeros((2,), jnp.int32))
+    o2 = model.apply({'params': params2}, x, jnp.ones((2,)),
+                     jnp.zeros((2,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5)
