@@ -36,6 +36,12 @@ class NoiseSchedule:
     def rate_noise(self, t):
         raise NotImplementedError
 
+    def inverse_total_noise(self, sigma):
+        """t such that total_noise(t) == sigma (exists for every
+        schedule here; used by the first-hitting sampler to map
+        uniform move-chance quantiles to decode times)."""
+        raise NotImplementedError
+
     def __call__(self, t) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.total_noise(t), self.rate_noise(t)
 
@@ -64,6 +70,9 @@ class LogLinearNoise(NoiseSchedule):
 
     def total_noise(self, t):
         return -jnp.log1p(-(1 - self.eps) * t)
+
+    def inverse_total_noise(self, sigma):
+        return -jnp.expm1(-sigma) / (1 - self.eps)
 
     @property
     def sigma_min(self) -> float:
@@ -96,6 +105,10 @@ class LinearNoise(NoiseSchedule):
 
     def total_noise(self, t):
         return self.sigma_min_val + t * (
+            self.sigma_max_val - self.sigma_min_val)
+
+    def inverse_total_noise(self, sigma):
+        return (sigma - self.sigma_min_val) / (
             self.sigma_max_val - self.sigma_min_val)
 
     @property
@@ -131,6 +144,11 @@ class GeometricNoise(NoiseSchedule):
     def total_noise(self, t):
         return self.sigma_min_val ** (1 - t) * self.sigma_max_val ** t
 
+    def inverse_total_noise(self, sigma):
+        lo = math.log(self.sigma_min_val)
+        hi = math.log(self.sigma_max_val)
+        return (jnp.log(sigma) - lo) / (hi - lo)
+
     @property
     def sigma_min(self) -> float:
         return self.sigma_min_val
@@ -153,6 +171,10 @@ class CosineNoise(NoiseSchedule):
         cos = jnp.cos(t * jnp.pi / 2)
         return -jnp.log(self.eps + (1 - self.eps) * cos)
 
+    def inverse_total_noise(self, sigma):
+        cos = (jnp.exp(-sigma) - self.eps) / (1 - self.eps)
+        return jnp.arccos(jnp.clip(cos, -1.0, 1.0)) * 2 / jnp.pi
+
     @property
     def sigma_min(self) -> float:
         return -math.log(self.eps + (1 - self.eps))
@@ -174,6 +196,11 @@ class CosineSqrNoise(NoiseSchedule):
     def total_noise(self, t):
         cos = jnp.cos(t * jnp.pi / 2) ** 2
         return -jnp.log(self.eps + (1 - self.eps) * cos)
+
+    def inverse_total_noise(self, sigma):
+        cos2 = (jnp.exp(-sigma) - self.eps) / (1 - self.eps)
+        cos = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+        return jnp.arccos(jnp.clip(cos, -1.0, 1.0)) * 2 / jnp.pi
 
     @property
     def sigma_min(self) -> float:

@@ -555,14 +555,24 @@ def first_hitting_sample(spec: DiffusionSpec, sampler: SamplerSpec,
         'first-hitting sampling is defined for absorbing-state '
         'diffusion')
     from ddg_tpu.ops.noise_schedules import LogLinearNoise
-    assert isinstance(spec.noise, LogLinearNoise), (
-        'uniform decode times are exact for the log-linear schedule '
-        '(move chance linear in t); other schedules need the inverse '
-        'move-chance transform')
     tau_key, scan_key = jax.random.split(key)
     B, L = batch_size, length
-    tau = jax.random.uniform(tau_key, (B, L), minval=sampler.eps,
-                             maxval=1.0)
+    u = jax.random.uniform(tau_key, (B, L), minval=sampler.eps,
+                           maxval=1.0)
+    if isinstance(spec.noise, LogLinearNoise):
+        # Move chance is linear in t, so decode times are the uniform
+        # quantiles directly (kept branch-exact for the golden pins).
+        tau = u
+    else:
+        # General schedule: a token's survival is
+        # P(masked at t) = move_chance(t) / move_chance(1), so the
+        # decode time is the move-chance quantile
+        # tau = mc^{-1}(u * mc(1)) = sigma^{-1}(-log1p(-u * mc(1))).
+        mc1 = 1.0 - jnp.exp(-spec.noise.total_noise(
+            jnp.asarray(1.0)))
+        sigma_tau = -jnp.log1p(-u * mc1)
+        tau = jnp.clip(spec.noise.inverse_total_noise(sigma_tau),
+                       sampler.eps, 1.0)
     # Descending decode order per sample.
     order = jnp.argsort(-tau, axis=-1)                  # (B, L)
     times = jnp.take_along_axis(tau, order, axis=-1)    # (B, L) desc

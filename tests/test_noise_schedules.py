@@ -96,3 +96,23 @@ def test_schedules_are_hashable_static():
         return ns.LogLinearNoise().total_noise(t)
 
     assert np.isfinite(float(sigma_of(0.5)))
+
+
+def test_inverse_total_noise_roundtrip():
+    """t -> sigma -> t for every schedule (the first-hitting sampler
+    maps move-chance quantiles through this inverse)."""
+    import jax.numpy as jnp
+
+    from ddg_tpu.ops.noise_schedules import (CosineNoise,
+                                             CosineSqrNoise,
+                                             GeometricNoise,
+                                             LinearNoise,
+                                             LogLinearNoise)
+    t = jnp.linspace(0.01, 0.99, 23)
+    for sched in [LogLinearNoise(), LinearNoise(0.1, 8.0),
+                  GeometricNoise(1e-3, 1.0), CosineNoise(),
+                  CosineSqrNoise()]:
+        back = sched.inverse_total_noise(sched.total_noise(t))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(t),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=type(sched).__name__)

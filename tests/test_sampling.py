@@ -56,3 +56,45 @@ def test_sample_token_gumbel():
         noise).squeeze()
     counts = np.bincount(np.asarray(draws), minlength=3) / 4000
     np.testing.assert_allclose(counts, [0.8, 0.15, 0.05], atol=0.03)
+
+
+def test_first_hitting_nonloglinear_matches_ancestral():
+    """First-hitting with a cosine schedule: decode-time quantile
+    mapping through inverse_total_noise must reproduce the ancestral
+    reverse process (empirical unigram distribution agreement with a
+    fixed oracle denoiser)."""
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.ops.noise_schedules import CosineNoise
+    from ddg_tpu.samplers import SamplerSpec, diffusion_sample
+
+    V, L, B = 12, 16, 8
+    MASK = V - 1
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='subs', noise=CosineNoise(),
+                         vocab_size=V, mask_index=MASK,
+                         time_conditioning=False)
+    logits_table = jax.random.normal(jax.random.PRNGKey(3), (V,)) * 2.0
+
+    def oracle(params, xt, sigma, cond, x_emb, *, train, rng,
+               **kw):
+        del params, sigma, cond, x_emb, train, rng
+        out = jnp.broadcast_to(logits_table,
+                               (*xt.shape, V)).astype(jnp.float32)
+        if kw.get('skip_head'):
+            raise AssertionError('oracle has no trunk/head split')
+        return out
+
+    def dist(samp, seed0, n=6):
+        acc = np.zeros(V, np.int64)
+        for s in range(n):
+            out = np.asarray(diffusion_sample(
+                spec, samp, oracle, None, jax.random.PRNGKey(seed0 + s),
+                batch_size=B, length=L))
+            assert (out != MASK).all()
+            acc += np.bincount(out.reshape(-1), minlength=V)
+        return acc / acc.sum()
+
+    d_fh = dist(SamplerSpec(steps=64, first_hitting=True), 100)
+    d_anc = dist(SamplerSpec(steps=64, use_cache=False), 400)
+    tv = 0.5 * np.abs(d_fh - d_anc).sum()
+    assert tv < 0.06, tv
