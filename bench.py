@@ -36,7 +36,9 @@ A100_BASELINE_SAMPLES_PER_SEC = 2.2
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--batch', type=int, default=32)
+    p.add_argument('--batch', type=int, default=None,
+                   help='default: 32 first-hitting, 24 ancestral '
+                        '(each measured optimal on v5e)')
     p.add_argument('--steps', type=int, default=1000)
     p.add_argument('--quick', action='store_true',
                    help='tiny model for CPU smoke runs')
@@ -55,6 +57,10 @@ def main():
     p.add_argument('--fp32-head', dest='bf16_head',
                    action='store_false',
                    help='keep the vocab projection in fp32')
+    p.add_argument('--pallas-attn', action='store_true',
+                   help='opt into the fused short-seq Pallas '
+                        'attention (measured slower than XLA '
+                        'attention at these shapes; default off)')
     p.add_argument('--first-hitting', action='store_true',
                    default=True,
                    help='event-driven sampler: L forwards instead of '
@@ -69,6 +75,11 @@ def main():
         args.fused = not args.first_hitting
     if args.bf16_head is None:
         args.bf16_head = not args.first_hitting
+    if args.batch is None:
+        # Measured per-chip optima: FH flat in B (26.0 at 32); the
+        # ancestral step scales superlinearly in B (trunk 10.4->23.1 ms
+        # for 2x tokens), peaking at B=24 (2.95 vs 2.63 at B=32).
+        args.batch = 32 if args.first_hitting else 24
 
     from __graft_entry__ import _flagship
     from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
@@ -81,6 +92,8 @@ def main():
     if args.bf16_head or args.first_hitting:
         import jax.numpy as _jnp
         cfg = dataclasses.replace(cfg, logits_dtype=_jnp.bfloat16)
+    if args.pallas_attn:
+        cfg = dataclasses.replace(cfg, pallas_attention=True)
     from ddg_tpu.models import DIT, make_model_apply
     model = DIT(cfg)
     apply_fn = make_model_apply(model)

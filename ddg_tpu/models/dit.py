@@ -47,6 +47,13 @@ class DITConfig:
     # logits HBM traffic — sampling-quality impact is one bf16 rounding
     # of the logits.
     logits_dtype: jnp.dtype = jnp.float32
+    # Fused short-sequence Pallas attention (ops/attention_pallas.py).
+    # Measured SLOWER than XLA's attention at the DiT shapes (L<=256,
+    # D=64: both a heads-major-transpose variant and a token-major
+    # lane-sliced variant lost 10-18% end-to-end — the transposes /
+    # serialized per-head matmuls cost more than skipping the HBM
+    # probs tensor saves), so 'auto' resolves to OFF; True opts in.
+    pallas_attention: 'str | bool' = 'auto'
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -142,8 +149,15 @@ class DDiTBlock(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = jax.nn.dot_product_attention(
-            q, k, v, is_causal=cfg.causal)
+        use_pallas = (cfg.pallas_attention
+                      if isinstance(cfg.pallas_attention, bool)
+                      else False)
+        if use_pallas:
+            from ddg_tpu.ops.attention_pallas import short_seq_attention
+            attn = short_seq_attention(q, k, v, causal=cfg.causal)
+        else:
+            attn = jax.nn.dot_product_attention(
+                q, k, v, is_causal=cfg.causal)
         attn = attn.reshape(B, L, dim)
         h = nn.Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
