@@ -744,9 +744,10 @@ def train_classifier(config: Config):
                     f'{sorted(shared)}, frozen={bool(frozen_keys)}')
 
     state = init_train_state(rng, params, optim_spec, avg_spec)
+    # donate: in-place params/opt/EMA update (no full-state copy/step).
     step_fn = jax.jit(make_classifier_train_step(
         clf_spec, apply_fn, optim_spec, avg_spec,
-        frozen_keys=frozen_keys))
+        frozen_keys=frozen_keys), donate_argnums=(0,))
 
     save_dir = os.path.join(str(config.checkpointing.save_dir),
                             'classifier_checkpoints')
@@ -757,7 +758,11 @@ def train_classifier(config: Config):
     max_steps = int(config.trainer.max_steps)
     label_col = config.data.get('label_col', 'label')
     it = iter(loader)
-    while int(state.step) < max_steps:
+    # Host-side step counter: int(state.step) every iteration would
+    # block on the async dispatch queue and serialize host and device
+    # (same pattern as train()).
+    step = int(state.step)
+    while step < max_steps:
         raw = next(it)
         batch = {'input_ids': raw['input_ids'].astype(np.int32),
                  'attention_mask':
@@ -765,7 +770,7 @@ def train_classifier(config: Config):
                  'label': raw.get(label_col, raw.get('label')).astype(
                      np.int32)}
         state, metrics = step_fn(state, batch)
-        step = int(state.step)
+        step += 1
         if step % int(config.trainer.log_every_n_steps) == 0:
             metrics_log.log(step, metrics)
         ckpt.maybe_save_last(step, state)

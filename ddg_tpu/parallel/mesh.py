@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -92,12 +93,21 @@ def shard_train_step(mesh: Mesh, train_step, state, batch):
     metric_sh = replicated(mesh)
 
     # metric_sh is a prefix pytree: one sharding applies to all metrics.
+    # Donating the input state lets XLA alias params/opt/EMA buffers
+    # in-place instead of allocating+copying the full state every step
+    # (~4x params bytes: params + 2 Adam moments + EMA shadow).
     jitted = jax.jit(
         train_step,
         in_shardings=(st_sh, b_sh),
-        out_shardings=(st_sh, metric_sh))
+        out_shardings=(st_sh, metric_sh),
+        donate_argnums=(0,))
 
     def place_state(s):
+        # Deep copy, not just placement: device_put is a no-op for a
+        # leaf already on device with the right sharding, and the
+        # donating step would then delete the CALLER's buffer (e.g. a
+        # shared PRNG key) out from under it on the first execute.
+        s = jax.tree.map(lambda x: jnp.array(x, copy=True), s)
         return jax.device_put(s, st_sh)
 
     def place_batch(b):

@@ -57,8 +57,12 @@ class AveragingSpec:
 def init(spec: AveragingSpec, params) -> Optional[AveragingState]:
     if spec.kind == 'none':
         return None
+    # jnp.asarray would alias the param buffers; the shadow must be a
+    # COPY — the donated train step would otherwise try to donate the
+    # same buffer through both state.params and state.averaging.
     return AveragingState(
-        shadow_params=jax.tree.map(jnp.asarray, params),
+        shadow_params=jax.tree.map(lambda p: jnp.array(p, copy=True),
+                                   params),
         num_updates=jnp.zeros((), jnp.int32),
         step_counter=jnp.zeros((), jnp.int32))
 
