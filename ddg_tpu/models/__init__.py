@@ -11,6 +11,19 @@ import jax.numpy as jnp
 from ddg_tpu.models.dit import DIT, DITClassifier, DITConfig  # noqa: F401
 
 
+def _dropout_rng(rng):
+    """Dropout stream on the hardware RBG generator.
+
+    Threefry mask bits are ~24% of a DiT-small train step on v5e
+    (measured: 131K -> 163K tok/s with dropout off entirely); the
+    dropout stream needs no counter-based reproducibility guarantees,
+    so rebase the threefry key onto the fast 'rbg' impl. Loss/corruption
+    RNG stays threefry (checkpoint/resume reproducibility)."""
+    data = jax.random.key_data(rng)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data]).astype(jnp.uint32), impl='rbg')
+
+
 def make_model_apply(module):
     """Wrap a flax denoiser module into the ModelApply protocol:
     (params, x, sigma, cond, x_emb, *, train, rng,
@@ -19,7 +32,8 @@ def make_model_apply(module):
     def apply(params, x, sigma, cond=None, x_emb=None, *,
               train: bool = False, rng=None,
               return_hidden_states: bool = False, **kwargs):
-        rngs = {'dropout': rng} if (train and rng is not None) else None
+        rngs = ({'dropout': _dropout_rng(rng)}
+                if (train and rng is not None) else None)
         return module.apply(
             {'params': params}, x, sigma, cond, x_emb, train=train,
             return_hidden_states=return_hidden_states, rngs=rngs,
@@ -34,7 +48,8 @@ def make_classifier_apply(module):
 
     def apply(params, x, sigma, x_emb=None, attention_mask=None, *,
               train: bool = False, rng=None):
-        rngs = {'dropout': rng} if (train and rng is not None) else None
+        rngs = ({'dropout': _dropout_rng(rng)}
+                if (train and rng is not None) else None)
         return module.apply({'params': params}, x, sigma, x_emb,
                             attention_mask, train=train, rngs=rngs)
 
