@@ -68,6 +68,9 @@ def main():
     p.add_argument('--ancestral', dest='first_hitting',
                    action='store_false',
                    help='measure the T-step ancestral sampler instead')
+    p.add_argument('--ar', action='store_true',
+                   help='measure AR decoding (KV-cache incremental, '
+                        'reference _ar_sample) instead of diffusion')
     args = p.parse_args()
     # Ancestral defaults: fused Pallas denoise kernel + bf16 head (the
     # fastest step-for-step-exact configuration); both opt-out-able.
@@ -100,6 +103,56 @@ def main():
 
     if args.quick:
         args.batch, args.steps = 4, 16
+
+    if args.ar:
+        import dataclasses as _dc
+        from ddg_tpu.samplers import ar_sample
+        spec = _dc.replace(spec, parameterization='ar')
+        cfg = _dc.replace(cfg, causal=True)
+        model = DIT(cfg)
+        apply_fn = make_model_apply(model)
+        rng = jax.random.PRNGKey(0)
+        x_init = jax.random.randint(rng, (1, cfg.length), 0,
+                                    cfg.vocab_size)
+        params = model.init(rng, x_init, None,
+                            jnp.zeros((1,), jnp.int32))['params']
+        guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
+        cond = jnp.zeros((args.batch,), jnp.int32)
+
+        @jax.jit
+        def run_ar(params, key):
+            return ar_sample(
+                spec, SamplerSpec(steps=args.steps), apply_fn, params,
+                key, batch_size=args.batch, length=cfg.length,
+                bos_token_id=0, guidance=guidance, cond=cond,
+                decode_cfg=cfg)
+
+        out = run_ar(params, jax.random.PRNGKey(1))
+        out.block_until_ready()
+        n_iters = 3 if not args.quick else 1
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out = run_ar(params, jax.random.PRNGKey(2 + i))
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / n_iters
+        n_chips = jax.device_count()
+        sps = args.batch / dt / n_chips
+        # AR baseline estimate: the reference recomputes the FULL
+        # prefix every token for DiT (diffusion.py:1132-1133): per
+        # sample ~ L steps x 2 CFG forwards x 2*N*(L/2) FLOPs
+        # ~= 3.6 TFLOP at L=128, N=110e6; A100 at ~20% MFU on the
+        # short-prefix matmuls (25 TFLOP/s) -> ~7 samples/sec.
+        ar_baseline = 7.0
+        print(json.dumps({
+            'metric': (f'LM1B AR-CFG samples/sec/chip (KV-cache '
+                       f'decode, B={args.batch}, '
+                       + ('tiny' if args.quick else 'DiT-small')
+                       + ')'),
+            'value': round(sps, 4),
+            'unit': 'samples/sec/chip',
+            'vs_baseline': round(sps / ar_baseline, 3),
+        }))
+        return
 
     rng = jax.random.PRNGKey(0)
     x_init = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)

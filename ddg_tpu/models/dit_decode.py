@@ -29,9 +29,12 @@ def init_cache(cfg: DITConfig, batch_size: int) -> Dict:
 
 
 def _dense(p, x):
-    y = x @ p['kernel']
+    # Match nn.Dense's dtype policy: params cast to the activation
+    # dtype (fp32 params would otherwise promote a bf16 trunk to fp32
+    # — and mismatch the bf16 KV cache).
+    y = x @ p['kernel'].astype(x.dtype)
     if 'bias' in p:
-        y = y + p['bias']
+        y = y + p['bias'].astype(x.dtype)
     return y
 
 
