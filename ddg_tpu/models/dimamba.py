@@ -168,12 +168,20 @@ class MambaCore(nn.Module):
             nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
             (cfg.d_conv, 1, d))
         conv_b = self.param('conv1d_bias', nn.initializers.zeros, (d,))
-        x = jax.lax.conv_general_dilated(
-            x.astype(cfg.compute_dtype),
-            conv_w.astype(cfg.compute_dtype),
-            window_strides=(1,), padding=[(cfg.d_conv - 1, 0)],
-            dimension_numbers=('NLC', 'LIO', 'NLC'),
-            feature_group_count=d) + conv_b
+        # Causal depthwise conv as d_conv shifted multiply-adds — pure
+        # elementwise FMAs that XLA fuses with the surrounding VPU ops
+        # (no grouped-convolution lowering). Same math as
+        # lax.conv_general_dilated with (k-1, 0) padding; measured
+        # throughput-neutral vs the conv at Species10 scale (the step
+        # is scan- and projection-bound), kept for the simpler fusion.
+        xc = x.astype(cfg.compute_dtype)
+        w = conv_w.astype(cfg.compute_dtype)
+        acc = xc * w[cfg.d_conv - 1, 0][None, None, :]
+        for j in range(cfg.d_conv - 1):
+            s = cfg.d_conv - 1 - j
+            shifted = jnp.pad(xc[:, :-s], ((0, 0), (s, 0), (0, 0)))
+            acc = acc + shifted * w[j, 0][None, None, :]
+        x = acc + conv_b.astype(cfg.compute_dtype)
         x = jax.nn.silu(x)
 
         x_dbl = nn.Dense(cfg.dt_rank + 2 * cfg.d_state, use_bias=False,
