@@ -947,6 +947,27 @@ def gen_ppl_eval(config: Config) -> dict:
         result['generative_ppl'] = compute_generative_ppl(
             texts, judge_model_name=judge,
             max_length=int(config.model.length))
+    ar_judge = str(config.eval.get('ar_judge_checkpoint_path', '')
+                   or '')
+    if ar_judge:
+        # Offline counterpart of the gpt2-large judge: one of OUR
+        # trained AR models in the same vocabulary (the HF judge needs
+        # hub assets; reference protocol eval_utils.py:28-90).
+        from ddg_tpu.eval_utils import \
+            compute_generative_ppl_with_ar_model
+        jcfg = Config(config.to_dict())
+        _setup_model_eval_config_ppl(jcfg, 'ar')
+        jcfg.eval['checkpoint_path'] = ar_judge
+        _, jspec, japply, jstate, _ = _restore_for_eval(jcfg)
+        jparams = (averaged_params(jstate.averaging, jstate.params)
+                   if not bool(config.eval.disable_ema)
+                   else jstate.params)
+        result['generative_ppl_ar_judge'] = \
+            compute_generative_ppl_with_ar_model(
+                np.concatenate(all_samples, axis=0), ar_spec=jspec,
+                model_apply=japply, params=jparams,
+                bos_token_id=tokenizer.bos_token_id,
+                pad_token_id=getattr(tokenizer, 'pad_token_id', None))
     out_path = config.eval.get('generated_samples_path') or ''
     if out_path:
         with open(out_path, 'w') as f:

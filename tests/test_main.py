@@ -336,3 +336,75 @@ class TestLCSC:
                                offspring_per_iter=6, seed=0,
                                log=lambda *_: None)
         assert score < 0.2
+
+
+class TestARFudgeAndGenPPL:
+    """AR-family config surface: FUDGE-guided AR sampling from
+    checkpoints (reference diffusion.py:1056-1068 + _ar_fudge_denoise)
+    and mode=gen_ppl_eval with the offline AR judge
+    (eval.ar_judge_checkpoint_path; the reference's gpt2-large
+    protocol, main.py:253-305, needs hub assets)."""
+
+    BASE = [
+        'data=qm9', 'model=tiny',
+        'model.hidden_size=32', 'model.cond_dim=16',
+        'model.n_blocks=2', 'model.n_heads=2', 'model.length=16',
+        'model.dropout=0.0',
+        'classifier_model=tiny-classifier',
+        'classifier_model.hidden_size=32',
+        'classifier_model.cond_dim=16', 'classifier_model.n_blocks=2',
+        'classifier_model.n_heads=2', 'classifier_model.dropout=0.0',
+        'classifier_model.length=16',
+        'trainer.precision=fp32', 'trainer.max_steps=4',
+        'trainer.val_check_interval=4', 'trainer.log_every_n_steps=2',
+        'loader.global_batch_size=8', 'loader.batch_size=8',
+        'loader.eval_global_batch_size=8', 'trainer.devices=1',
+        'sampling.steps=4', 'sampling.num_sample_batches=1',
+        'sampling.batch_size=4',
+        'eval.generate_samples=False', '+data.synthetic=true',
+    ]
+    AR = ['diffusion=absorbing_state', 'parameterization=ar', 'T=0',
+          'time_conditioning=False']
+    MDLM = ['diffusion=absorbing_state', 'parameterization=subs',
+            'T=0', 'time_conditioning=False']
+
+    @pytest.fixture(scope='class')
+    def trained(self, tmp_path_factory):
+        tmp_path = tmp_path_factory.mktemp('ar_fudge')
+        common = [f'data.cache_dir={tmp_path}/data']
+        M.train(load_config(CONFIG_DIR, overrides=[
+            'mode=train', *self.BASE, *self.AR, *common,
+            f'checkpointing.save_dir={tmp_path}/ar']))
+        M.train(load_config(CONFIG_DIR, overrides=[
+            'mode=train', *self.BASE, *self.MDLM, *common,
+            f'checkpointing.save_dir={tmp_path}/mdlm']))
+        M.train_classifier(load_config(CONFIG_DIR, overrides=[
+            'mode=train_classifier', *self.BASE, *self.AR, *common,
+            '+is_fudge_classifier=True',
+            'classifier_model.pooling=no_pooling',
+            f'checkpointing.save_dir={tmp_path}/ar']))
+        return tmp_path, common
+
+    def test_fudge_from_config(self, trained):
+        tmp_path, common = trained
+        cfg = load_config(CONFIG_DIR, overrides=[
+            'mode=sample', *self.BASE, *self.AR, *common,
+            'guidance=fudge', 'guidance.condition=1',
+            'classifier_model.pooling=no_pooling',
+            f'eval.checkpoint_path={tmp_path}/ar/checkpoints/last',
+            f'guidance.classifier_checkpoint_path='
+            f'{tmp_path}/ar/classifier_checkpoints/last'])
+        result = M.sample_eval(cfg)
+        assert len(result['samples']) == 4
+
+    def test_gen_ppl_with_ar_judge(self, trained):
+        tmp_path, common = trained
+        cfg = load_config(CONFIG_DIR, overrides=[
+            'mode=gen_ppl_eval', *self.BASE, *self.MDLM, *common,
+            f'eval.checkpoint_path={tmp_path}/mdlm/checkpoints/last',
+            f'+eval.ar_judge_checkpoint_path='
+            f'{tmp_path}/ar/checkpoints/last'])
+        result = M.gen_ppl_eval(cfg)
+        assert np.isfinite(result['unigram_entropy'])
+        assert np.isfinite(result['generative_ppl_ar_judge'])
+        assert result['generative_ppl_ar_judge'] > 0
