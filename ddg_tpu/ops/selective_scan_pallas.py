@@ -126,8 +126,8 @@ def _suffix_scan(a_up, w, *, seg: int = 8):
     return jnp.concatenate(outs, axis=0)
 
 
-def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref,
-                y_ref, h0_out_ref, h_scr):
+def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
+                d_vec_ref, y_ref, h0_out_ref, h_scr):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -142,20 +142,28 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref,
     Bc = b_ref[0].astype(jnp.float32)                 # (C, N)
     Cc = c_ref[0].astype(jnp.float32)                 # (C, N)
     A = -jnp.exp(a_log_ref[...].astype(jnp.float32))  # (N, d)
+    z = z_ref[0].astype(jnp.float32)                  # (C, d)
+    dvec = d_vec_ref[...].astype(jnp.float32)         # (1, d)
 
     a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
     b = (dt * u)[:, None, :] * Bc[..., None]          # (C, N, d)
     h_all = _chunk_states(h0, a, b)
     h_scr[...] = _time_row(h_all, -1)
-    y_ref[0] = jnp.sum(h_all * Cc[..., None], axis=1)  # (C, d)
+    # Fused epilogue: y = (scan + D*u) * silu(z) — three elementwise
+    # HBM passes of the unfused chain folded into the kernel.
+    y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
+    y_ref[0] = y_pre * (z * jax.nn.sigmoid(z))
 
 
-def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, h0_ref, g_ref,
-                du_ref, ddt_ref, db_ref, dc_ref, da_log_ref,
-                carry_scr):
+def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
+                d_vec_ref, h0_ref, g_ref,
+                du_ref, ddt_ref, db_ref, dc_ref, da_log_ref, dz_ref,
+                dd_vec_ref, carry_scr):
     """Adjoint scan; grid index k maps to chunk nc-1-k (reverse
     chunk order, see the index maps). carry_scr holds
-    a_first*dh_first of the chunk to the right (zero at the last)."""
+    a_first*dh_first of the chunk to the right (zero at the last).
+    The incoming g is the gradient wrt the GATED output
+    (scan + D*u) * silu(z); the gate adjoint is handled in-kernel."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -166,8 +174,10 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, h0_ref, g_ref,
     u = u_ref[0].astype(jnp.float32)                  # (C, d)
     Bc = b_ref[0].astype(jnp.float32)                 # (C, N)
     Cc = c_ref[0].astype(jnp.float32)                 # (C, N)
-    g = g_ref[0].astype(jnp.float32)                  # (C, d)
+    g_gated = g_ref[0].astype(jnp.float32)            # (C, d)
     A = -jnp.exp(a_log_ref[...].astype(jnp.float32))  # (N, d)
+    z = z_ref[0].astype(jnp.float32)                  # (C, d)
+    dvec = d_vec_ref[...].astype(jnp.float32)         # (1, d)
     h0 = h0_ref[0, 0]                                 # (N, d)
 
     C_len, N_, d_ = dt.shape[0], A.shape[0], A.shape[1]
@@ -181,10 +191,18 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, h0_ref, g_ref,
     h_prev = jnp.where(t_ids == 0, h0[None],
                        pltpu.roll(h_all, 1, 0))
 
+    # Gate adjoint: y = y_pre * silu(z), y_pre = scan + D*u.
+    sig = jax.nn.sigmoid(z)
+    sg = z * sig
+    gy = g_gated * sg                                 # d/d y_pre
+    y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
+    # d silu(z)/dz = sig * (1 + z * (1 - sig))
+    dz_ref[0] = g_gated * y_pre * (sig + sg * (1.0 - sig))
+
     # Adjoint: dh_t = w_t + a_{t+1} dh_{t+1}; suffix scan with the
     # coefficient shifted up by one (a_up_t = a_{t+1}; 1 at t=C-1) and
     # the cross-chunk carry folded into w at t=C-1.
-    w = Cc[..., None] * g[:, None, :]                 # (C, N, d)
+    w = Cc[..., None] * gy[:, None, :]                # (C, N, d)
     w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
     a_up = jnp.where(t_ids == C_len - 1, 1.0,
                      pltpu.roll(a, C_len - 1, 0))
@@ -195,23 +213,26 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, h0_ref, g_ref,
     da = dh * h_prev                                  # wrt a
     dhB = jnp.sum(dh * Bc[..., None], axis=1)         # (C, d)
     ddt_ref[0] = jnp.sum(da * a * A[None], axis=1) + dhB * u
-    du_ref[0] = dhB * dt
+    du_ref[0] = dhB * dt + gy * dvec
     # db/dc reduce over d, which is tiled across grid dim 1 — emit
     # per-d-tile partials (summed outside; non-consecutive output
     # revisits are not a safe accumulation pattern).
     db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2)  # (C, N)
-    dc_ref[0, 0] = jnp.sum(h_all * g[:, None, :], axis=2)      # (C, N)
+    dc_ref[0, 0] = jnp.sum(h_all * gy[:, None, :], axis=2)     # (C, N)
 
-    # dA_log accumulated over chunks (k innermost => consecutive
+    # dA_log / dD accumulated over chunks (k innermost => consecutive
     # revisits of the same (bi, di) output block, which is the safe
     # Pallas accumulation pattern); summed over B outside.
     dA = jnp.sum(da * a * dt[:, None, :], axis=0)     # (N, d)
+    dD = jnp.sum(gy * u, axis=0, keepdims=True)       # (1, d)
 
     @pl.when(k == 0)
     def _():
         da_log_ref[0] = jnp.zeros_like(da_log_ref[0])
+        dd_vec_ref[0] = jnp.zeros_like(dd_vec_ref[0])
 
     da_log_ref[0] += dA * A
+    dd_vec_ref[0] += dD
 
 
 def _specs(chunk, d_tile, N, *, rev, nc):
@@ -230,26 +251,30 @@ def _specs(chunk, d_tile, N, *, rev, nc):
     return u_spec, n_spec, a_spec, h0_spec
 
 
-def _fwd_call(u, delta, A_log, Bc, Cc, *, chunk, d_tile, interpret):
+def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
+              interpret):
     B, L, d = u.shape
     N = A_log.shape[0]
     nc = L // chunk
     u_spec, n_spec, a_spec, h0_spec = _specs(chunk, d_tile, N,
                                              rev=False, nc=nc)
+    d_spec = pl.BlockSpec((1, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(B, d // d_tile, nc),
-        in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec],
+        in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, u_spec,
+                  d_spec],
         out_specs=(u_spec, h0_spec),
         out_shape=(jax.ShapeDtypeStruct((B, L, d), jnp.float32),
                    jax.ShapeDtypeStruct((B, nc, N, d), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((N, d_tile), jnp.float32)],
         interpret=interpret,
-    )(u, delta, Bc, Cc, A_log)
+    )(u, delta, Bc, Cc, A_log, z, Dv.reshape(1, d))
 
 
-def _bwd_call(u, delta, A_log, Bc, Cc, h0s, g, *, chunk, d_tile,
-              interpret):
+def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
+              d_tile, interpret):
     B, L, d = u.shape
     N = A_log.shape[0]
     nc = L // chunk
@@ -258,57 +283,69 @@ def _bwd_call(u, delta, A_log, Bc, Cc, h0s, g, *, chunk, d_tile,
     dA_spec = pl.BlockSpec((1, N, d_tile),
                            lambda bi, di, k: (bi, 0, di),
                            memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((1, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
+    dD_spec = pl.BlockSpec((1, 1, d_tile),
+                           lambda bi, di, k: (bi, 0, di),
+                           memory_space=pltpu.VMEM)
     n_d = d // d_tile
     kmap = lambda k: nc - 1 - k  # noqa: E731
     dn_spec = pl.BlockSpec((1, 1, chunk, N),
                            lambda bi, di, k: (di, bi, kmap(k), 0),
                            memory_space=pltpu.VMEM)
-    du, ddt, db, dc, dAlog = pl.pallas_call(
+    du, ddt, db, dc, dAlog, dz, dD = pl.pallas_call(
         _bwd_kernel,
         grid=(B, n_d, nc),
-        in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, h0_spec,
-                  u_spec],
-        out_specs=(u_spec, u_spec, dn_spec, dn_spec, dA_spec),
+        in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, u_spec,
+                  d_spec, h0_spec, u_spec],
+        out_specs=(u_spec, u_spec, dn_spec, dn_spec, dA_spec, u_spec,
+                   dD_spec),
         out_shape=(jax.ShapeDtypeStruct((B, L, d), jnp.float32),
                    jax.ShapeDtypeStruct((B, L, d), jnp.float32),
                    jax.ShapeDtypeStruct((n_d, B, L, N), jnp.float32),
                    jax.ShapeDtypeStruct((n_d, B, L, N), jnp.float32),
-                   jax.ShapeDtypeStruct((B, N, d), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, N, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, d), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((N, d_tile), jnp.float32)],
         interpret=interpret,
-    )(u, delta, Bc, Cc, A_log, h0s, g)
-    return du, ddt, db.sum(axis=0), dc.sum(axis=0), dAlog.sum(axis=0)
+    )(u, delta, Bc, Cc, A_log, z, Dv.reshape(1, d), h0s, g)
+    return (du, ddt, db.sum(axis=0), dc.sum(axis=0),
+            dAlog.sum(axis=0), dz, dD.sum(axis=0).reshape(d))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def ssm_scan(u, delta, A_log, Bc, Cc, chunk=128, d_tile=256,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
              d_tile_bwd=128, interpret=False):
-    """y_t = sum_n C_{t,n} h_{t,n,:} with the Mamba recurrence.
+    """y_t = (sum_n C_{t,n} h_{t,n,:} + D u_t) * silu(z_t) with the
+    Mamba recurrence — skip connection and gate fused in-kernel.
 
-    u, delta: (B, L, d); A_log: (N, d) with A = -exp(A_log);
-    Bc, Cc: (B, L, N). Returns y (B, L, d) fp32. Differentiable wrt
-    all five tensor args. chunk must divide L; d_tile(|_bwd) divide d.
+    u, delta, z: (B, L, d); A_log: (N, d) with A = -exp(A_log);
+    Bc, Cc: (B, L, N); Dv: (d,). Returns y (B, L, d) fp32.
+    Differentiable wrt all seven tensor args. chunk must divide L;
+    d_tile(|_bwd) divide d.
     """
-    y, _ = _fwd_call(u, delta, A_log, Bc, Cc, chunk=chunk,
+    y, _ = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                      d_tile=d_tile, interpret=interpret)
     return y
 
 
-def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, chunk, d_tile,
+def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, z, Dv, chunk, d_tile,
                       d_tile_bwd, interpret):
-    y, h0s = _fwd_call(u, delta, A_log, Bc, Cc, chunk=chunk,
+    y, h0s = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                        d_tile=d_tile, interpret=interpret)
-    return y, (u, delta, A_log, Bc, Cc, h0s)
+    return y, (u, delta, A_log, Bc, Cc, z, Dv, h0s)
 
 
 def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, res, g):
-    u, delta, A_log, Bc, Cc, h0s = res
-    du, ddt, db, dc, dAlog = _bwd_call(
-        u, delta, A_log, Bc, Cc, h0s, g, chunk=chunk,
+    u, delta, A_log, Bc, Cc, z, Dv, h0s = res
+    du, ddt, db, dc, dAlog, dz, dD = _bwd_call(
+        u, delta, A_log, Bc, Cc, z, Dv, h0s, g, chunk=chunk,
         d_tile=d_tile_bwd, interpret=interpret)
     return (du.astype(u.dtype), ddt.astype(delta.dtype),
             dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
-            dc.astype(Cc.dtype))
+            dc.astype(Cc.dtype), dz.astype(z.dtype),
+            dD.astype(Dv.dtype))
 
 
 ssm_scan.defvjp(_ssm_scan_vjp_fwd, _ssm_scan_vjp_bwd)
@@ -345,9 +382,8 @@ def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
     dtp = _pad_time(delta.astype(jnp.float32), chunk)
     Bp = _pad_time(B, chunk)
     Cp = _pad_time(C, chunk)
-    y = ssm_scan(up, dtp, A_log, Bp, Cp, chunk, d_tile, d_tile_bwd,
+    zp = _pad_time(z, chunk)
+    y = ssm_scan(up, dtp, A_log, Bp, Cp, zp,
+                 D.astype(jnp.float32), chunk, d_tile, d_tile_bwd,
                  interpret)
-    y = y[:, :L]
-    y = y + D[None, None].astype(jnp.float32) * u.astype(jnp.float32)
-    y = y * jax.nn.silu(z.astype(jnp.float32))
-    return y.astype(u.dtype)
+    return y[:, :L].astype(u.dtype)

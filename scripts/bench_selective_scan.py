@@ -66,25 +66,26 @@ def main():
     print(f'fwd   XLA {t_xla*1e3:8.2f} ms   Pallas {t_pal*1e3:8.2f} ms '
           f'  speedup {t_xla/t_pal:.2f}x')
 
-    def loss_xla(u, delta, A, Bc, Cc):
+    def loss_xla(u, delta, A, Bc, Cc, D, z):
         return selective_scan(u, delta, A, Bc, Cc, D, z,
                               chunk=args.chunk).sum()
 
-    def loss_pal(u, delta, A, Bc, Cc):
+    def loss_pal(u, delta, A, Bc, Cc, D, z):
         return selective_scan_pallas(u, delta, A, Bc, Cc, D, z,
                                      chunk=args.chunk).sum()
 
-    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))
-    gp = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4)))
-    g0 = gx(u, delta, A, Bc, Cc)
-    g1 = gp(u, delta, A, Bc, Cc)
-    for name, a, b in zip(('du', 'ddelta', 'dA', 'dB', 'dC'), g0, g1):
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5, 6)))
+    gp = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4, 5, 6)))
+    g0 = gx(u, delta, A, Bc, Cc, D, z)
+    g1 = gp(u, delta, A, Bc, Cc, D, z)
+    for name, a, b in zip(('du', 'ddelta', 'dA', 'dB', 'dC', 'dD',
+                           'dz'), g0, g1):
         e = float(jnp.max(jnp.abs(a - b))
                   / (jnp.max(jnp.abs(a)) + 1e-9))
         print(f'grad {name}: rel err {e:.2e}')
 
-    t_gx = _timeit(gx, u, delta, A, Bc, Cc, iters=args.iters)
-    t_gp = _timeit(gp, u, delta, A, Bc, Cc, iters=args.iters)
+    t_gx = _timeit(gx, u, delta, A, Bc, Cc, D, z, iters=args.iters)
+    t_gp = _timeit(gp, u, delta, A, Bc, Cc, D, z, iters=args.iters)
     print(f'grad  XLA {t_gx*1e3:8.2f} ms   Pallas {t_gp*1e3:8.2f} ms '
           f'  speedup {t_gx/t_gp:.2f}x')
 
