@@ -82,6 +82,18 @@ def _row_sample(perturbed, vocab_size):
     return jnp.min(idx, axis=-1).astype(jnp.int32)
 
 
+
+def _auto_tile(L: int, V: int) -> int:
+    """Measured tile optima: 16 at LM1B vocab (30523; ~2 MB f32
+    blocks), 128 at CIFAR vocab (256; larger tiles amortize the grid
+    at narrow V — 1.43 vs 1.62/1.96/2.01 ms for 32/64/256). Pick the
+    target by V, then shrink to a divisor of L."""
+    t = min(128 if V <= 1024 else 16, L)
+    while t > 1 and L % t:
+        t //= 2
+    return max(t, 1)
+
+
 def _absorbing_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, logits_ref,
                       *refs, vocab_size: int, mask_index: int,
                       external_gumbel: bool):
@@ -169,7 +181,7 @@ def _cfg_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, gamma_ref,
                    static_argnames=('mask_index', 'tile_l', 'interpret'))
 def fused_absorbing_sample(seed, xt, logits, move_chance_t,
                            move_chance_s, *, mask_index: int,
-                           tile_l: int = 16, interpret=False,
+                           tile_l=None, interpret=False,
                            gumbel=None):
     """Fused SUBS + posterior + Gumbel-argmax + copy-over.
 
@@ -181,6 +193,8 @@ def fused_absorbing_sample(seed, xt, logits, move_chance_t,
     copy of the logits ever hits HBM.
     """
     B, L, V = logits.shape
+    if tile_l is None:
+        tile_l = _auto_tile(L, V)
     assert L % tile_l == 0, (L, tile_l)
     Vp = V
     n_tiles = L // tile_l
@@ -227,12 +241,14 @@ def fused_absorbing_sample(seed, xt, logits, move_chance_t,
                    static_argnames=('mask_index', 'tile_l', 'interpret'))
 def fused_absorbing_cfg_sample(seed, xt, logits_cond, logits_uncond,
                                gamma, move_chance_t, move_chance_s, *,
-                               mask_index: int, tile_l: int = 16,
+                               mask_index: int, tile_l=None,
                                interpret=False, gumbel=None):
     """CFG variant: fused gamma-interpolation + softmax + posterior +
     Gumbel-argmax + copy-over (diffusion.py:1475-1480). Single-LSE
     mixture math (see _cfg_kernel); logits may be bf16."""
     B, L, V = logits_cond.shape
+    if tile_l is None:
+        tile_l = _auto_tile(L, V)
     assert L % tile_l == 0, (L, tile_l)
     Vp = V
     n_tiles = L // tile_l
@@ -274,3 +290,153 @@ def fused_absorbing_cfg_sample(seed, xt, logits_cond, logits_uncond,
         interpret=interpret,
     )(*args)
     return out.reshape(B, L)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-state (UDLM) kernels. The posterior numerator
+#   num_v = alpha_t*V*p_v*[v==xt] + (a_ts - alpha_t)*[v==xt]
+#           + (alpha_s - alpha_t)*p_v + (1 - a_ts)*(1 - alpha_s)/V,
+# a_ts = alpha_t/alpha_s (diffusion.py:367-394), has a per-row constant
+# denominator — Gumbel-max needs only log(num), so the kernel samples
+# argmax(log num + G) in one pass. The CFG variant interpolates LOG-
+# POSTERIORS (diffusion.py:1481-1495): q ∝ num_c^g * num_u^(1-g), so
+# perturbed = g*log(num_c) + (1-g)*log(num_u) + G (denominators cancel
+# inside the row-wise renormalization).
+# ---------------------------------------------------------------------------
+
+def _uniform_num(logits, v_ids, valid, xt_f, a_t, a_s, vocab_size):
+    lg = jnp.where(valid, logits, NEG)
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1, keepdims=True))
+    p = jnp.exp(lg - lse)
+    a_ts = a_t / a_s
+    is_xt = (v_ids.astype(jnp.float32) == xt_f).astype(jnp.float32)
+    num = (p * ((a_s - a_t) + is_xt * (a_t * vocab_size))
+           + is_xt * (a_ts - a_t)
+           + (1.0 - a_ts) * (1.0 - a_s) / vocab_size)
+    return jnp.where(valid, jnp.log(num + 1e-35), NEG)
+
+
+def _uniform_kernel(seed_ref, xt_ref, at_ref, as_ref, logits_ref,
+                    *refs, vocab_size: int, external_gumbel: bool):
+    out_ref = refs[-1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    logits = logits_ref[...].astype(jnp.float32)      # (1, TL, V)
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape,
+                                     logits.ndim - 1)
+    valid = v_ids < vocab_size
+    log_q = _uniform_num(logits, v_ids, valid, xt_ref[...],
+                         at_ref[b], as_ref[b], vocab_size)
+    if external_gumbel:
+        g = refs[0][...].astype(jnp.float32)
+    else:
+        _seed_cell(seed_ref, b, i)
+        g = _gumbel(logits.shape)
+    xs = _row_sample(log_q + g, vocab_size)
+    out_ref[0, 0, 0, :] = xs[0]
+
+
+def _uniform_cfg_kernel(seed_ref, xt_ref, at_ref, as_ref, gamma_ref,
+                        logits_c_ref, logits_u_ref, *refs,
+                        vocab_size: int, external_gumbel: bool):
+    out_ref = refs[-1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    lc = logits_c_ref[...].astype(jnp.float32)
+    lu = logits_u_ref[...].astype(jnp.float32)
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, lc.shape, lc.ndim - 1)
+    valid = v_ids < vocab_size
+    xt_f = xt_ref[...]
+    a_t, a_s = at_ref[b], as_ref[b]
+    log_nc = _uniform_num(lc, v_ids, valid, xt_f, a_t, a_s, vocab_size)
+    log_nu = _uniform_num(lu, v_ids, valid, xt_f, a_t, a_s, vocab_size)
+    gamma = gamma_ref[0]
+    mixed = gamma * log_nc + (1 - gamma) * log_nu
+    mixed = jnp.where(valid, mixed, NEG)
+    if external_gumbel:
+        g = refs[0][...].astype(jnp.float32)
+    else:
+        _seed_cell(seed_ref, b, i)
+        g = _gumbel(lc.shape)
+    xs = _row_sample(mixed + g, vocab_size)
+    out_ref[0, 0, 0, :] = xs[0]
+
+
+def _uniform_call(kernel, seed, xt, alpha_t, alpha_s, logits_list,
+                  extra_smem, *, tile_l, interpret, gumbel):
+    B, L, V = logits_list[0].shape
+    if tile_l is None:
+        tile_l = _auto_tile(L, V)
+    assert L % tile_l == 0, (L, tile_l)
+    n_tiles = L // tile_l
+    grid = (B, n_tiles)
+    logits_spec = pl.BlockSpec((1, tile_l, V), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+    # xt as a (B, L, 1) f32 column so the per-(position, v) indicator
+    # broadcasts against the (1, tile_l, V) logits block (int exact in
+    # f32 for any real vocab size).
+    xt3 = xt.astype(jnp.float32)[..., None]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, tile_l, 1), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [jnp.asarray([seed], jnp.int32), xt3,
+            alpha_t.astype(jnp.float32), alpha_s.astype(jnp.float32)]
+    for sm in extra_smem:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(sm)
+    for lg in logits_list:
+        in_specs.append(logits_spec)
+        args.append(lg)
+    if gumbel is not None:
+        in_specs.append(logits_spec)
+        args.append(gumbel)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, tile_l),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 1, tile_l),
+                                       jnp.int32),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, L)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('vocab_size', 'tile_l', 'interpret'))
+def fused_uniform_sample(seed, xt, logits, alpha_t, alpha_s, *,
+                         vocab_size: int, tile_l=None,
+                         interpret=False, gumbel=None):
+    """Fused uniform-posterior + Gumbel-argmax (UDLM reverse step;
+    diffusion.py:1378-1420 uniform branch). xt: (B, L) int32;
+    logits: (B, L, V) fp32/bf16; alpha_*: (B,)."""
+    kernel = functools.partial(_uniform_kernel, vocab_size=vocab_size,
+                               external_gumbel=gumbel is not None)
+    return _uniform_call(kernel, seed, xt, alpha_t, alpha_s, [logits],
+                         [], tile_l=tile_l, interpret=interpret,
+                         gumbel=gumbel)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('vocab_size', 'tile_l', 'interpret'))
+def fused_uniform_cfg_sample(seed, xt, logits_cond, logits_uncond,
+                             gamma, alpha_t, alpha_s, *,
+                             vocab_size: int, tile_l=None,
+                             interpret=False, gumbel=None):
+    """CFG variant: log-posterior interpolation + Gumbel-argmax
+    (diffusion.py:1481-1495)."""
+    kernel = functools.partial(_uniform_cfg_kernel,
+                               vocab_size=vocab_size,
+                               external_gumbel=gumbel is not None)
+    return _uniform_call(kernel, seed, xt, alpha_t, alpha_s,
+                         [logits_cond, logits_uncond],
+                         [jnp.asarray([gamma], jnp.float32)],
+                         tile_l=tile_l, interpret=interpret,
+                         gumbel=gumbel)

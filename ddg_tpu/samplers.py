@@ -31,7 +31,9 @@ from ddg_tpu.diffusion import DiffusionSpec, log_x_theta, process_sigma
 from ddg_tpu.ops import forward_process as fp
 from ddg_tpu.ops import sampling as S
 from ddg_tpu.ops.fused_sampling import (fused_absorbing_cfg_sample,
-                                        fused_absorbing_sample)
+                                        fused_absorbing_sample,
+                                        fused_uniform_cfg_sample,
+                                        fused_uniform_sample)
 
 
 def _raw_logits(spec, model_apply, params, xt, sigma, cond=None):
@@ -49,8 +51,10 @@ def _fused_ok(spec, sampler, guidance):
     # chain on other backends (e.g. the CPU test mesh).
     return (sampler.fused
             and jax.default_backend() == 'tpu'
-            and spec.diffusion == 'absorbing_state'
-            and spec.parameterization == 'subs'
+            and ((spec.diffusion == 'absorbing_state'
+                  and spec.parameterization == 'subs')
+                 or (spec.diffusion == 'uniform'
+                     and spec.parameterization == 'd3pm'))
             and not sampler.low_confidence_sampling
             and not sampler.argmax_sampling
             and not sampler.use_float64)
@@ -149,9 +153,14 @@ def _ddpm_step(spec, sampler, model_apply, params, key, xt, sigma_t,
 
         logits, new_cache = _cached(compute, cache, cache_valid)
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-        xs = fused_absorbing_sample(
-            seed, xt, logits, mct[:, 0, 0], mcs[:, 0, 0],
-            mask_index=spec.mask_index)
+        if spec.diffusion == 'uniform':
+            xs = fused_uniform_sample(
+                seed, xt, logits, 1.0 - mct[:, 0, 0],
+                1.0 - mcs[:, 0, 0], vocab_size=spec.vocab_size)
+        else:
+            xs = fused_absorbing_sample(
+                seed, xt, logits, mct[:, 0, 0], mcs[:, 0, 0],
+                mask_index=spec.mask_index)
         return xs, new_cache
 
     def compute(_):
@@ -175,6 +184,7 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
     null_cond = jnp.full_like(cond, spec.num_classes)
 
     if (_fused_ok(spec, sampler, guidance) and gamma not in (0.0, 1.0)
+            and spec.diffusion == 'absorbing_state'
             and dit_cfg is not None and cache_valid is None):
         # Feature-mix fast path: the output head is linear in its
         # (normed + modulated) features, so
@@ -216,9 +226,17 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
         logits2, new_cache = _cached(compute, cache, cache_valid)
         B = xt.shape[0]
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-        xs = fused_absorbing_cfg_sample(
-            seed, xt, logits2[:B], logits2[B:], gamma,
-            mct[:, 0, 0], mcs[:, 0, 0], mask_index=spec.mask_index)
+        if spec.diffusion == 'uniform':
+            # log-posterior interpolation in-kernel
+            # (diffusion.py:1481-1495)
+            xs = fused_uniform_cfg_sample(
+                seed, xt, logits2[:B], logits2[B:], gamma,
+                1.0 - mct[:, 0, 0], 1.0 - mcs[:, 0, 0],
+                vocab_size=spec.vocab_size)
+        else:
+            xs = fused_absorbing_cfg_sample(
+                seed, xt, logits2[:B], logits2[B:], gamma,
+                mct[:, 0, 0], mcs[:, 0, 0], mask_index=spec.mask_index)
         return xs, new_cache
 
     if gamma == 0.0 or gamma == 1.0:

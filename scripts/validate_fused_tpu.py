@@ -108,6 +108,31 @@ def main():
     ok &= bool(co)
     print(f'copy-over: {"PASS" if co else "FAIL"}')
 
+    # Uniform-state (UDLM) kernels vs the analytic posterior
+    from ddg_tpu.ops import forward_process as fp
+    from ddg_tpu.ops.fused_sampling import (fused_uniform_cfg_sample,
+                                            fused_uniform_sample)
+    xt_u = jax.random.randint(jax.random.PRNGKey(5), (B, L), 0, V)
+    a_t = jnp.full((B,), 0.3)
+    a_s = jnp.full((B,), 0.6)
+
+    def uq(lg):
+        p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+        q = fp.uniform_posterior(p, xt_u, a_s[:, None, None],
+                                 a_t[:, None, None], vocab_size=V)
+        return q / q.sum(-1, keepdims=True)
+
+    check('uniform none (fp32)',
+          lambda s: fused_uniform_sample(s, xt_u, logits, a_t, a_s,
+                                         vocab_size=V), uq(logits))
+    log_mix = (gamma * jnp.log(uq(logits))
+               + (1 - gamma) * jnp.log(uq(logits_u)))
+    q_ucfg = jax.nn.softmax(log_mix, axis=-1)
+    check('uniform cfg gamma=2',
+          lambda s: fused_uniform_cfg_sample(
+              s, xt_u, logits, logits_u, gamma, a_t, a_s,
+              vocab_size=V), q_ucfg)
+
     print('ALL PASS' if ok else 'FAILURES')
     sys.exit(0 if ok else 1)
 

@@ -107,3 +107,53 @@ def test_fused_copy_over_and_range():
     keep = np.asarray(xt) != MASK
     np.testing.assert_array_equal(out[keep], np.asarray(xt)[keep])
     assert out.min() >= 0 and out.max() < V
+
+
+# ---------------------------------------------------------------------------
+# Uniform-state (UDLM) kernels
+# ---------------------------------------------------------------------------
+
+def _setup_uniform(seed=0):
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(seed), 5)
+    logits = jax.random.normal(k1, (B, L, V), jnp.float32) * 3.0
+    xt = jax.random.randint(k2, (B, L), 0, V)
+    a_t = jax.random.uniform(k3, (B,), minval=0.1, maxval=0.5)
+    a_s = a_t + jax.random.uniform(k4, (B,), minval=0.1, maxval=0.4)
+    gumbel = jax.random.gumbel(k5, (B, L, V), jnp.float32)
+    return logits, xt, a_t, a_s, gumbel
+
+
+def _uniform_q(logits, xt, a_t, a_s):
+    from ddg_tpu.ops import forward_process as fp
+    p = jax.nn.softmax(logits, axis=-1)
+    return fp.uniform_posterior(p, xt, a_s[:, None, None],
+                                a_t[:, None, None], vocab_size=V)
+
+
+def test_fused_uniform_matches_unfused_chain():
+    from ddg_tpu.ops.fused_sampling import fused_uniform_sample
+    logits, xt, a_t, a_s, gumbel = _setup_uniform()
+    q = _uniform_q(logits, xt, a_t, a_s)
+    expected = jnp.argmax(jnp.log(q) + gumbel, axis=-1)
+    got = fused_uniform_sample(0, xt, logits, a_t, a_s, vocab_size=V,
+                               tile_l=8, interpret=True, gumbel=gumbel)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_fused_uniform_cfg_matches_log_posterior_interpolation():
+    from ddg_tpu.ops.fused_sampling import fused_uniform_cfg_sample
+    logits, xt, a_t, a_s, gumbel = _setup_uniform(1)
+    logits_u = jax.random.normal(jax.random.PRNGKey(9),
+                                 (B, L, V)) * 3.0
+    gamma = 2.0
+    # Reference: interpolate log-posteriors then renormalize
+    # (diffusion.py:1481-1495); Gumbel-argmax is invariant to the
+    # per-row renormalization constant.
+    log_mix = (gamma * jnp.log(_uniform_q(logits, xt, a_t, a_s))
+               + (1 - gamma) * jnp.log(_uniform_q(logits_u, xt, a_t,
+                                                  a_s)))
+    expected = jnp.argmax(log_mix + gumbel, axis=-1)
+    got = fused_uniform_cfg_sample(
+        0, xt, logits, logits_u, gamma, a_t, a_s, vocab_size=V,
+        tile_l=8, interpret=True, gumbel=gumbel)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
