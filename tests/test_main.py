@@ -111,7 +111,9 @@ class TestTrainE2E:
         spec = M.build_sampler_spec(cfg)
         assert spec.first_hitting and spec.fused
         spec = M.build_sampler_spec(_tiny_config(tmp_path))
-        assert not spec.first_hitting and not spec.fused
+        # fused defaults ON (validated + auto-fallback off-TPU);
+        # first_hitting stays opt-in (changes the NFE schedule).
+        assert not spec.first_hitting and spec.fused
 
 
 class TestSpecBuilders:
