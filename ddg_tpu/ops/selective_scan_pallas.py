@@ -351,6 +351,15 @@ def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, res, g):
 ssm_scan.defvjp(_ssm_scan_vjp_fwd, _ssm_scan_vjp_bwd)
 
 
+def _divisor_tile(d: int, target: int) -> int:
+    """Largest tile <= target that divides d (the grid floor-divides
+    d // d_tile, so a non-divisor tile would drop trailing channels)."""
+    t = min(d, target)
+    while t > 1 and d % t:
+        t -= 1
+    return max(t, 1)
+
+
 def _pad_time(x, chunk):
     pad = (-x.shape[1]) % chunk
     if not pad:
@@ -374,9 +383,14 @@ def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
     """
     Bsz, L, d = u.shape
     if d_tile is None:
-        d_tile = min(d, 256)
+        d_tile = _divisor_tile(d, 256)
     if d_tile_bwd is None:
-        d_tile_bwd = min(d, 128)
+        d_tile_bwd = _divisor_tile(d, 128)
+    if d % d_tile or d % d_tile_bwd:
+        raise ValueError(
+            f'd_inner={d} must be divisible by d_tile={d_tile} and '
+            f'd_tile_bwd={d_tile_bwd} (grid floor-divides; a non-divisor '
+            f'tile would silently skip trailing channels)')
     A_log = jnp.log(-A.astype(jnp.float32)).T          # (N, d)
     up = _pad_time(u, chunk)
     dtp = _pad_time(delta.astype(jnp.float32), chunk)

@@ -54,7 +54,12 @@ def _fused_ok(spec, sampler, guidance):
             and ((spec.diffusion == 'absorbing_state'
                   and spec.parameterization == 'subs')
                  or (spec.diffusion == 'uniform'
-                     and spec.parameterization == 'd3pm'))
+                     and spec.parameterization == 'd3pm'
+                     # subs_masking adds -inf at mask_index in the
+                     # unfused log_x_theta; the fused uniform kernel
+                     # softmaxes over the full vocab and would leak
+                     # probability mass onto the mask token.
+                     and not spec.subs_masking))
             and not sampler.low_confidence_sampling
             and not sampler.argmax_sampling
             and not sampler.use_float64)

@@ -21,20 +21,33 @@ def get_logger(name: str = 'ddg_tpu',
             '[%(asctime)s][%(name)s][%(levelname)s] - %(message)s'))
         logger.addHandler(handler)
     logger.setLevel(level)
-    try:
-        # Only consult the process index if a backend already exists:
-        # jax.process_index() would otherwise *initialize* the backend,
-        # which forbids a later jax.distributed.initialize() (multi-host
-        # init must precede any backend use). Modules that call
-        # get_logger at import time must stay init-neutral.
-        from jax._src import xla_bridge
-        if xla_bridge._backends:
-            import jax
-            if jax.process_index() != 0:
-                logger.setLevel(logging.ERROR)
-    except Exception:
-        pass
+    if _known_process_index() not in (None, 0):
+        logger.setLevel(logging.ERROR)
     return logger
+
+
+def _known_process_index():
+    """Process index if the distributed runtime is initialized, else
+    None — WITHOUT touching the backend: jax.process_index() would
+    otherwise *initialize* it, which forbids a later
+    jax.distributed.initialize() (multi-host init must precede any
+    backend use). Modules that call get_logger at import time must stay
+    init-neutral. jax.distributed.is_initialized() is the public
+    signal: False means single-process (index 0 by definition); True
+    means initialize() already ran, so jax.process_index() is safe —
+    the multi-host ordering constraint is already satisfied."""
+    try:
+        import jax
+        import jax.distributed
+        if not jax.distributed.is_initialized():
+            return None
+        return jax.process_index()
+    except Exception:
+        import warnings
+        warnings.warn('ddg_tpu.utils.logging: could not probe '
+                      'jax.distributed state; non-zero-host log '
+                      'suppression disabled', stacklevel=2)
+        return None
 
 
 class MetricsLogger:
