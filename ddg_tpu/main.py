@@ -827,6 +827,9 @@ def _restore_classifier_for_sampling(config: Config):
 _CLASSIFIER_GUIDED = ('cbg', 'nos', 'fudge', 'pplm')
 
 
+_SHARDED_SAMPLE_CACHE: dict = {}
+
+
 def sample(config: Config, spec, apply_fn, params, *, tokenizer,
            rng=None, classifier_apply=None, classifier_params=None,
            model_cfg=None):
@@ -860,6 +863,44 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
                          classifier_apply=classifier_apply,
                          classifier_params=classifier_params,
                          decode_cfg=decode_cfg)
+    mesh = None
+    if (jax.device_count() > 1
+            and bool(config.sampling.get('shard', True))):
+        m = build_mesh(config)
+        if batch_size % m.shape['data'] == 0:
+            mesh = m
+    if mesh is not None:
+        # Data-parallel guided generation over the mesh (the
+        # BASELINE.json north-star layout): each device runs the full
+        # reverse process on batch_size/ndata samples via shard_map
+        # (parallel/mesh.py:shard_sample_fn). Params replicated,
+        # classifier params ride the same pytree so nothing is baked
+        # into the HLO. The jitted runner is cached across calls (eval
+        # loops call sample() per batch).
+        local_b = batch_size // mesh.shape['data']
+        local_cond = (jnp.full((local_b,), guidance.condition, jnp.int32)
+                      if cond is not None else None)
+        cache_key = (id(apply_fn), id(classifier_apply), sampler,
+                     guidance, spec, batch_size, length, dit_cfg,
+                     tuple(d.id for d in mesh.devices.flat))
+        run = _SHARDED_SAMPLE_CACHE.get(cache_key)
+        if run is None:
+            def local_fn(p, key):
+                return diffusion_sample(
+                    spec, sampler, apply_fn, p['model'], key,
+                    batch_size=local_b, length=length,
+                    guidance=guidance, cond=local_cond,
+                    classifier_apply=classifier_apply,
+                    classifier_params=p['classifier'], dit_cfg=dit_cfg)
+
+            run, _ = mesh_lib.shard_sample_fn(
+                mesh, local_fn,
+                {'model': params, 'classifier': classifier_params})
+            _SHARDED_SAMPLE_CACHE[cache_key] = run
+        placed = jax.device_put(
+            {'model': params, 'classifier': classifier_params},
+            mesh_lib.replicated(mesh))
+        return run(placed, rng)
     return diffusion_sample(spec, sampler, apply_fn, params, rng,
                             batch_size=batch_size, length=length,
                             guidance=guidance, cond=cond,

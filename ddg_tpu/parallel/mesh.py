@@ -116,19 +116,35 @@ def shard_train_step(mesh: Mesh, train_step, state, batch):
     return jitted, place_state, place_batch
 
 
-def shard_sample_fn(mesh: Mesh, sample_fn, params):
-    """jit a sampling closure with params replicated and the token
-    output sharded over 'data' — the north-star data-parallel guided
-    generation layout (BASELINE.json): each chip runs the full
-    lax.scan reverse process on its shard of the sample batch; no
-    collectives are needed during sampling.
+def shard_sample_fn(mesh: Mesh, local_sample_fn, params):
+    """Data-parallel guided generation (the BASELINE.json north-star
+    layout): each device runs the FULL lax.scan reverse process on its
+    shard of the sample batch with an independent fold-in PRNG key; no
+    collectives during sampling.
 
-    sample_fn(params, key) -> tokens (B, L); B must divide the data
-    axis.
+    Built on shard_map (not plain jit sharding propagation) because the
+    fused Pallas denoise kernels are opaque custom calls GSPMD cannot
+    partition — inside shard_map each device sees local shapes and the
+    kernel runs unmodified per-shard.
+
+    local_sample_fn(params, key) -> (local_B, L) tokens; the caller
+    bakes in local_B = global_B // mesh.shape['data'].
+
+    Returns (jitted(params, key) -> (global_B, L), placed_params).
     """
+    ndata = mesh.shape['data']
     rep = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P('data'))
-    jitted = jax.jit(sample_fn, in_shardings=(rep, rep),
-                     out_shardings=out_sh)
+
+    def body(params, keys):
+        return local_sample_fn(params, keys[0])
+
+    sharded = jax.shard_map(body, mesh=mesh,
+                            in_specs=(P(), P('data')),
+                            out_specs=P('data'), check_vma=False)
+
+    @jax.jit
+    def global_fn(params, key):
+        return sharded(params, jax.random.split(key, ndata))
+
     params = jax.device_put(params, rep)
-    return jitted, params
+    return global_fn, params

@@ -88,6 +88,30 @@ class TestTrainE2E:
         assert all(set(t) <= set('abcdefghijklmnopqrstuvwxyz ')
                    for t in texts)
 
+    def test_sampling_shards_over_mesh(self, trained):
+        """main.sample() data-parallels over the device mesh from the
+        config surface alone (sampling.shard, default on): output is
+        sharded over the 'data' axis and each shard draws independent
+        samples."""
+        tmp_path, config, state = trained
+        tokenizer = M.build_tokenizer(config)
+        spec = M.build_diffusion_spec(config, tokenizer)
+        _, _, apply_fn = M.build_model(config, spec)
+        out = M.sample(config, spec, apply_fn, state.params,
+                       tokenizer=tokenizer)
+        assert out.shape == (8, 32)
+        assert len(out.sharding.device_set) == jax.device_count()
+        assert not out.sharding.is_fully_replicated  # P('data')
+        rows = {tuple(r) for r in np.asarray(out)}
+        assert len(rows) > 1, 'shards produced identical samples'
+        # opting out restores the unsharded path (output replicated or
+        # single-device, not partitioned over 'data')
+        cfg = _tiny_config(tmp_path, extra=['+sampling.shard=False'])
+        out2 = M.sample(cfg, spec, apply_fn, state.params,
+                        tokenizer=tokenizer)
+        assert (out2.sharding.is_fully_replicated
+                or len(out2.sharding.device_set) == 1)
+
     def test_sample_mode_first_hitting(self, trained):
         """mode=sample with sampling.first_hitting=True reaches the
         event-driven sampler (+ per-position head) from the config

@@ -197,9 +197,10 @@ class TestShardedSampling:
         guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=1)
 
         def sample_fn(p, key):
-            cond = jnp.ones((16,), jnp.int32)
+            # local semantics: each device runs batch 2 -> global 16
+            cond = jnp.ones((2,), jnp.int32)
             return diffusion_sample(spec, sampler, apply_fn, p, key,
-                                    batch_size=16, length=L,
+                                    batch_size=2, length=L,
                                     guidance=guidance, cond=cond)
 
         jitted, p = mesh_lib.shard_sample_fn(mesh, sample_fn, params)
@@ -247,10 +248,11 @@ def test_sharded_first_hitting_sampling():
     apply_fn = make_model_apply(model)
 
     def sample_fn(p, key):
-        cond = jnp.ones((16,), jnp.int32)
+        # local semantics: each device runs batch 2 -> global 16
+        cond = jnp.ones((2,), jnp.int32)
         return diffusion_sample(
             spec, SamplerSpec(first_hitting=True), apply_fn, p, key,
-            batch_size=16, length=L,
+            batch_size=2, length=L,
             guidance=GuidanceSpec(method='cfg', gamma=2.0, condition=1),
             cond=cond, dit_cfg=cfg)
 
