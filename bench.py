@@ -1,208 +1,423 @@
-"""Benchmark: LM1B-class guided sampling throughput (the BASELINE.json
-north star).
+"""Benchmark suite: one JSON line per workload.
 
-Config: DiT-small (hidden 768, 12 blocks/heads), vocab 30523 (bert-base
-+ mask), seq len 128, MDLM absorbing-state diffusion, T=1000 steps,
-D-CFG guidance gamma=2 (cond+uncond in one batched forward per step).
+The FIRST line is the driver-stable metric (unchanged format since
+round 1): LM1B-class guided sampling via the first-hitting sampler —
+DiT-small (hidden 768, 12 blocks/heads), vocab 30523 (bert-base +
+mask), seq len 128, MDLM absorbing-state diffusion, D-CFG gamma=2,
+B=32, samples/sec/chip.
 
-Default configuration (the fastest exact sampler): first-hitting
-event-driven sampling (the T->infty limit of the T=1000 reverse
-process — distributionally exact, L NFEs) with a bf16 vocab
-projection, B=32. `--ancestral` measures the step-for-step T=1000
-ancestral path instead.
+Subsequent lines (default run) cover the rest of the perf story:
+  * ancestral T=1000 D-CFG (the BASELINE.json-named workload,
+    step-for-step exact; fused Pallas kernel + feature-mix CFG)
+  * AR-CFG KV-cache decode
+  * text8 training step (DiT-small, L=256, global batch 512)
+  * Species10 DiMamba training step (hidden 256, 8 blocks, L=32768)
+  * CIFAR10 UNet uniform-diffusion guided sampling (fused kernel)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip",
-   "vs_baseline": N}
+Every line carries an `mfu` field: measured FLOPs (XLA's compiled cost
+analysis — exact for the XLA ops, conservative where Pallas kernels
+replace XLA ops) / wall time / peak bf16 FLOPs of the chip (v5e:
+197e12). Lines are emitted as each workload finishes, so a failure in
+one workload doesn't lose the others.
 
-`vs_baseline` is measured throughput divided by the estimated reference
-A100 throughput for the same workload. The reference publishes no
-numbers (SURVEY §6), so the denominator is a FLOPs-based estimate:
-2 sequential DiT-small forwards/step (diffusion.py:1448-1455), ~2*N*L
-FLOPs per forward with N=110e6, L=128 -> ~56 GFLOP/sample/step, A100
-bf16 at 40% MFU (125 TFLOP/s) -> ~2.2 samples/sec at T=1000. We use
-2.2; the target is vs_baseline >= 5.
+`vs_baseline` is measured throughput over an estimated reference A100
+throughput. The reference publishes no numbers (SURVEY §6), so the
+denominator is FLOPs-based: A100 bf16 at 40% MFU = 125 TFLOP/s over
+the same per-sample/per-token FLOPs. For the LM1B sampling workloads
+that works out to ~2.2 samples/sec at T=1000 (2 sequential DiT-small
+forwards/step, diffusion.py:1448-1455) — the north-star target is
+vs_baseline >= 5 on the T=1000 ancestral line. For DiMamba the
+reference path is memory-bound CUDA (FLOPs-based estimates are
+meaningless), so vs_baseline is null there.
+
+Single-workload flags: --ancestral, --ar, --train, --dimamba, --unet,
+--first-hitting. Default (no flags) runs the full suite.
 """
 
 import argparse
+import dataclasses
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
-A100_BASELINE_SAMPLES_PER_SEC = 2.2
+A100_EFFECTIVE_FLOPS = 0.4 * 312e12     # bf16 at 40% MFU
+A100_BASELINE_SAMPLES_PER_SEC = 2.2     # LM1B T=1000 D-CFG (docstring)
+AR_BASELINE = 7.0                       # full-prefix recompute estimate
+
+
+def _peak_flops():
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for key, peak in (('v5 lite', 197e12), ('v5e', 197e12),
+                      ('v5p', 459e12), ('v4', 275e12),
+                      ('v6', 918e12), ('v5', 197e12)):
+        if key in kind:
+            return peak
+    return None
+
+
+def _flops_of(jitted, *args):
+    """Per-execution FLOPs from the compiled program (0 on failure)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost.get('flops', 0.0))
+    except Exception:
+        return 0.0
+
+
+def _timeit(fn, args, iters, warmup=1):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def _emit(metric, value, unit, vs_baseline, mfu, **extra):
+    rec = {'metric': metric, 'value': round(value, 4), 'unit': unit,
+           'vs_baseline': (round(vs_baseline, 3)
+                           if vs_baseline is not None else None),
+           'mfu': round(mfu, 4) if mfu is not None else None}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _mfu(flops, dt):
+    peak = _peak_flops()
+    if not peak or not flops:
+        return None
+    return flops / dt / peak
+
+
+def _lm1b_setup(quick, *, causal=False, num_classes=2,
+                bf16_head=True, pallas_attn=False):
+    from __graft_entry__ import _flagship
+    from ddg_tpu.models import DIT, make_model_apply
+
+    spec, cfg, model, apply_fn = _flagship(tiny=quick)
+    spec = dataclasses.replace(spec, num_classes=num_classes)
+    cfg = dataclasses.replace(cfg, num_classes=num_classes,
+                              causal=causal)
+    if bf16_head:
+        cfg = dataclasses.replace(cfg, logits_dtype=jnp.bfloat16)
+    if pallas_attn:
+        cfg = dataclasses.replace(cfg, pallas_attention=True)
+    model = DIT(cfg)
+    apply_fn = make_model_apply(model)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)
+    sigma = None if causal else jnp.ones((1,))
+    params = model.init(rng, x, sigma,
+                        jnp.zeros((1,), jnp.int32))['params']
+    return spec, cfg, apply_fn, params
+
+
+def bench_sampling(args, first_hitting):
+    """LM1B D-CFG sampling: first-hitting (driver line) or ancestral."""
+    from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
+                                  diffusion_sample)
+
+    if first_hitting:
+        batch = args.batch or 32
+        fused, steps = False, args.steps
+    else:
+        # Measured per-chip optimum B=24 (the trunk scales
+        # superlinearly in tokens past 2B=48; see README).
+        batch = args.batch or 24
+        fused, steps = args.fused is not False, args.steps
+    spec, cfg, apply_fn, params = _lm1b_setup(args.quick)
+    if args.quick:
+        batch, steps = 4, 16
+    sampler = SamplerSpec(steps=steps, use_cache=bool(args.cache),
+                          fused=fused, first_hitting=first_hitting)
+    guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
+    cond = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def run(params, key):
+        return diffusion_sample(spec, sampler, apply_fn, params, key,
+                                batch_size=batch, length=cfg.length,
+                                guidance=guidance, cond=cond,
+                                dit_cfg=cfg)
+
+    flops = _flops_of(run, params, jax.random.PRNGKey(1))
+    dt, _ = _timeit(run, (params, jax.random.PRNGKey(2)),
+                    iters=1 if args.quick else 3)
+    sps = batch / dt / jax.device_count()
+    name = ('first-hitting ~ T=inf exact' if first_hitting
+            else f'T={steps}')
+    return _emit(
+        f'LM1B D-CFG samples/sec/chip ({name}, B={batch}, '
+        + ('tiny' if args.quick else 'DiT-small') + ')',
+        sps, 'samples/sec/chip',
+        sps / A100_BASELINE_SAMPLES_PER_SEC, _mfu(flops, dt))
+
+
+def bench_ar(args):
+    from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, ar_sample
+
+    batch = args.batch or 32
+    spec, cfg, apply_fn, params = _lm1b_setup(args.quick, causal=True)
+    spec = dataclasses.replace(spec, parameterization='ar')
+    if args.quick:
+        batch = 4
+    guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
+    cond = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def run(params, key):
+        return ar_sample(spec, SamplerSpec(steps=args.steps), apply_fn,
+                         params, key, batch_size=batch,
+                         length=cfg.length, bos_token_id=0,
+                         guidance=guidance, cond=cond, decode_cfg=cfg)
+
+    flops = _flops_of(run, params, jax.random.PRNGKey(1))
+    dt, _ = _timeit(run, (params, jax.random.PRNGKey(2)),
+                    iters=1 if args.quick else 3)
+    sps = batch / dt / jax.device_count()
+    return _emit(
+        f'LM1B AR-CFG samples/sec/chip (KV-cache decode, B={batch}, '
+        + ('tiny' if args.quick else 'DiT-small') + ')',
+        sps, 'samples/sec/chip', sps / AR_BASELINE, _mfu(flops, dt))
+
+
+def bench_train_text8(args):
+    """text8 training step: DiT-small, L=256, global batch 512 on one
+    chip (reference scripts/train_text8.sh protocol), synthetic batch,
+    jitted step only (the input pipeline is benched by main.train's
+    tok/s counters)."""
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.models import DIT, DITConfig, make_model_apply
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    from ddg_tpu.runtime.averaging import AveragingSpec
+    from ddg_tpu.runtime.optim import OptimSpec
+    from ddg_tpu.runtime.train_state import (init_train_state,
+                                             make_train_step)
+
+    if args.quick:
+        cfg = DITConfig(hidden_size=64, cond_dim=32, length=64,
+                        n_blocks=2, n_heads=2, dropout=0.1,
+                        vocab_size=35)
+        B = 8
+    else:
+        cfg = DITConfig(hidden_size=768, cond_dim=128, length=256,
+                        n_blocks=12, n_heads=12, dropout=0.1,
+                        vocab_size=35)
+        B = 512
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='subs', noise=LogLinearNoise(),
+                         vocab_size=cfg.vocab_size,
+                         mask_index=cfg.vocab_size - 1)
+    model = DIT(cfg)
+    apply_fn = make_model_apply(model)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (B, cfg.length), 0, cfg.vocab_size - 1)
+    params = model.init(rng, x[:1], jnp.ones((1,)))['params']
+    optim = OptimSpec(lr=3e-4, num_warmup_steps=2500)
+    avg = AveragingSpec.ema(0.9999)
+    state = init_train_state(rng, params, optim, avg)
+    step = jax.jit(make_train_step(spec, apply_fn, optim, avg),
+                   donate_argnums=(0,))
+    batch = {'input_ids': x,
+             'attention_mask': jnp.ones((B, cfg.length), jnp.float32)}
+
+    flops = _flops_of(step, state, batch)
+    # donation: rebuild state after lowering consumed nothing, but each
+    # timed call donates, so thread the state through the loop.
+    state, m = step(state, batch)
+    jax.block_until_ready(m)
+    iters = 1 if args.quick else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    tok_s = B * cfg.length / dt / jax.device_count()
+    n_chips = jax.device_count()
+    baseline = (A100_EFFECTIVE_FLOPS / (flops / (B * cfg.length))
+                if flops else None)
+    return _emit(
+        f'text8 train tokens/sec/chip (DiT-small, L={cfg.length}, '
+        f'B={B})', tok_s, 'tokens/sec/chip',
+        tok_s / baseline if baseline else None,
+        _mfu(flops / n_chips, dt))
+
+
+def bench_dimamba(args):
+    """Species10 DiMamba training step at the reference production
+    shape (scripts/train_ten_species_guidance.sh: hidden 256, 8 blocks,
+    per-device batch 2, L=32768). vs_baseline is null: the reference
+    path is memory-bound CUDA; FLOPs-based A100 estimates would be
+    meaningless."""
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.models.dimamba import DiMamba, DiMambaConfig
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    from ddg_tpu.runtime.averaging import AveragingSpec
+    from ddg_tpu.runtime.optim import OptimSpec
+    from ddg_tpu.runtime.train_state import (init_train_state,
+                                             make_train_step)
+
+    if args.quick:
+        cfg = DiMambaConfig(hidden_size=32, n_blocks=2, length=256,
+                            vocab_size=16, num_classes=10)
+        B = 2
+    else:
+        cfg = DiMambaConfig(hidden_size=256, n_blocks=8, length=32768,
+                            vocab_size=16, num_classes=10)
+        B = 2
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='subs', noise=LogLinearNoise(),
+                         vocab_size=cfg.vocab_size,
+                         mask_index=cfg.vocab_size - 1,
+                         num_classes=cfg.num_classes)
+    model = DiMamba(cfg)
+    apply_fn = make_model_apply(model)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (B, cfg.length), 0, cfg.vocab_size - 1)
+    cond = jnp.zeros((B,), jnp.int32)
+    params = model.init(rng, x[:1], jnp.ones((1,)), cond[:1])['params']
+    optim = OptimSpec(lr=2e-3, num_warmup_steps=100)
+    avg = AveragingSpec.ema(0.9999)
+    state = init_train_state(rng, params, optim, avg)
+    step = jax.jit(make_train_step(spec, apply_fn, optim, avg),
+                   donate_argnums=(0,))
+    batch = {'input_ids': x,
+             'attention_mask': jnp.ones((B, cfg.length), jnp.float32),
+             'cond': cond}
+
+    flops = _flops_of(step, state, batch)
+    state, m = step(state, batch)
+    jax.block_until_ready(m)
+    iters = 1 if args.quick else 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    tok_s = B * cfg.length / dt / jax.device_count()
+    return _emit(
+        f'Species10 DiMamba train tokens/sec/chip (hidden '
+        f'{cfg.hidden_size}, {cfg.n_blocks} blocks, L={cfg.length}, '
+        f'B={B})', tok_s, 'tokens/sec/chip', None,
+        _mfu(flops / jax.device_count(), dt),
+        step_seconds=round(dt, 4))
+
+
+def bench_unet(args):
+    """CIFAR10 guided sampling: UNet + uniform (UDLM) diffusion, D-CFG,
+    fused uniform Pallas kernel (reference workload:
+    scripts/train_cifar10_unet_guidance.sh + config sampling.steps)."""
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.models.unet import UNet, UNetConfig
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
+                                  diffusion_sample)
+
+    if args.quick:
+        cfg = UNetConfig(ch=16, num_res_blocks=1, num_scales=2,
+                         ch_mult=(1, 1), image_size=8, num_classes=10,
+                         dropout=0.0)
+        B, steps = 2, 4
+    else:
+        cfg = UNetConfig(ch=128, num_res_blocks=2, num_scales=4,
+                         ch_mult=(1, 2, 2, 2), image_size=32,
+                         num_classes=10, dropout=0.0)
+        B, steps = args.batch or 16, args.steps if args.steps != 1000 \
+            else 128
+    L = cfg.image_size * cfg.image_size * cfg.input_channels
+    # uniform state: vocab has no mask token (reference main.py vision
+    # branch: vocab = 256 pixel values)
+    spec = DiffusionSpec(diffusion='uniform', parameterization='d3pm',
+                         noise=LogLinearNoise(),
+                         vocab_size=cfg.vocab_size, mask_index=-1,
+                         num_classes=cfg.num_classes)
+    model = UNet(cfg)
+    apply_fn = make_model_apply(model)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, L), jnp.int32)
+    params = model.init(rng, x, jnp.ones((1,)),
+                        jnp.zeros((1,), jnp.int32))['params']
+    guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
+    cond = jnp.zeros((B,), jnp.int32)
+    sampler = SamplerSpec(steps=steps, use_cache=False,
+                          fused=args.fused is not False)
+
+    @jax.jit
+    def run(params, key):
+        return diffusion_sample(spec, sampler, apply_fn, params, key,
+                                batch_size=B, length=L,
+                                guidance=guidance, cond=cond)
+
+    flops = _flops_of(run, params, jax.random.PRNGKey(1))
+    dt, out = _timeit(run, (params, jax.random.PRNGKey(2)),
+                      iters=1 if args.quick else 3)
+    assert out.shape == (B, L)
+    sps = B / dt / jax.device_count()
+    baseline = (A100_EFFECTIVE_FLOPS / (flops / B) if flops else None)
+    return _emit(
+        f'CIFAR10 UNet D-CFG samples/sec/chip (uniform, T={steps}, '
+        f'B={B}, fused={"on" if sampler.fused else "off"})',
+        sps, 'samples/sec/chip',
+        sps / baseline if baseline else None, _mfu(flops, dt))
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--batch', type=int, default=None,
-                   help='default: 32 first-hitting, 24 ancestral '
-                        '(each measured optimal on v5e)')
+    p.add_argument('--batch', type=int, default=None)
     p.add_argument('--steps', type=int, default=1000)
     p.add_argument('--quick', action='store_true',
-                   help='tiny model for CPU smoke runs')
-    p.add_argument('--no-cache', action='store_true',
-                   help='disable the MDLM NFE cache (bench default)')
+                   help='tiny models for CPU smoke runs')
     p.add_argument('--cache', action='store_true',
-                   help='enable the MDLM NFE cache (loses at B>=32)')
-    p.add_argument('--fused', action='store_true', default=None,
-                   help='use the fused Pallas denoise-step kernel '
-                        '(default: on for --ancestral)')
-    p.add_argument('--no-fused', dest='fused', action='store_false',
-                   help='disable the fused Pallas kernel')
-    p.add_argument('--bf16-head', action='store_true', default=None,
-                   help='bf16 vocab-projection matmul (full MXU rate; '
-                        'default: on for --ancestral)')
-    p.add_argument('--fp32-head', dest='bf16_head',
-                   action='store_false',
-                   help='keep the vocab projection in fp32')
-    p.add_argument('--pallas-attn', action='store_true',
-                   help='opt into the fused short-seq Pallas '
-                        'attention (measured slower than XLA '
-                        'attention at these shapes; default off)')
-    p.add_argument('--first-hitting', action='store_true',
-                   default=True,
-                   help='event-driven sampler: L forwards instead of '
-                        'T NFEs (exact continuous-time limit); default')
-    p.add_argument('--ancestral', dest='first_hitting',
-                   action='store_false',
-                   help='measure the T-step ancestral sampler instead')
-    p.add_argument('--ar', action='store_true',
-                   help='measure AR decoding (KV-cache incremental, '
-                        'reference _ar_sample) instead of diffusion')
+                   help='enable the MDLM NFE cache (loses at B>=24)')
+    p.add_argument('--fused', action='store_true', default=None)
+    p.add_argument('--no-fused', dest='fused', action='store_false')
+    # workload selectors (default: full suite)
+    p.add_argument('--first-hitting', action='store_true')
+    p.add_argument('--ancestral', action='store_true')
+    p.add_argument('--ar', action='store_true')
+    p.add_argument('--train', action='store_true')
+    p.add_argument('--dimamba', action='store_true')
+    p.add_argument('--unet', action='store_true')
     args = p.parse_args()
-    # Ancestral defaults: fused Pallas denoise kernel + bf16 head (the
-    # fastest step-for-step-exact configuration); both opt-out-able.
-    if args.fused is None:
-        args.fused = not args.first_hitting
-    if args.bf16_head is None:
-        args.bf16_head = not args.first_hitting
-    if args.batch is None:
-        # Measured per-chip optima: FH flat in B (26.0 at 32); the
-        # ancestral step scales superlinearly in B (trunk 10.4->23.1 ms
-        # for 2x tokens), peaking at B=24 (2.95 vs 2.63 at B=32).
-        args.batch = 32 if args.first_hitting else 24
 
-    from __graft_entry__ import _flagship
-    from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
-                                  diffusion_sample)
-    import dataclasses
+    selected = {
+        'first_hitting': args.first_hitting,
+        'ancestral': args.ancestral,
+        'ar': args.ar,
+        'train': args.train,
+        'dimamba': args.dimamba,
+        'unet': args.unet,
+    }
+    run_all = not any(selected.values())
 
-    spec, cfg, model, apply_fn = _flagship(tiny=args.quick)
-    spec = dataclasses.replace(spec, num_classes=2)
-    cfg = dataclasses.replace(cfg, num_classes=2)
-    if args.bf16_head or args.first_hitting:
-        import jax.numpy as _jnp
-        cfg = dataclasses.replace(cfg, logits_dtype=_jnp.bfloat16)
-    if args.pallas_attn:
-        cfg = dataclasses.replace(cfg, pallas_attention=True)
-    from ddg_tpu.models import DIT, make_model_apply
-    model = DIT(cfg)
-    apply_fn = make_model_apply(model)
-
-    if args.quick:
-        args.batch, args.steps = 4, 16
-
-    if args.ar:
-        import dataclasses as _dc
-        from ddg_tpu.samplers import ar_sample
-        spec = _dc.replace(spec, parameterization='ar')
-        cfg = _dc.replace(cfg, causal=True)
-        model = DIT(cfg)
-        apply_fn = make_model_apply(model)
-        rng = jax.random.PRNGKey(0)
-        x_init = jax.random.randint(rng, (1, cfg.length), 0,
-                                    cfg.vocab_size)
-        params = model.init(rng, x_init, None,
-                            jnp.zeros((1,), jnp.int32))['params']
-        guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
-        cond = jnp.zeros((args.batch,), jnp.int32)
-
-        @jax.jit
-        def run_ar(params, key):
-            return ar_sample(
-                spec, SamplerSpec(steps=args.steps), apply_fn, params,
-                key, batch_size=args.batch, length=cfg.length,
-                bos_token_id=0, guidance=guidance, cond=cond,
-                decode_cfg=cfg)
-
-        out = run_ar(params, jax.random.PRNGKey(1))
-        out.block_until_ready()
-        n_iters = 3 if not args.quick else 1
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            out = run_ar(params, jax.random.PRNGKey(2 + i))
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / n_iters
-        n_chips = jax.device_count()
-        sps = args.batch / dt / n_chips
-        # AR baseline estimate: the reference recomputes the FULL
-        # prefix every token for DiT (diffusion.py:1132-1133): per
-        # sample ~ L steps x 2 CFG forwards x 2*N*(L/2) FLOPs
-        # ~= 3.6 TFLOP at L=128, N=110e6; A100 at ~20% MFU on the
-        # short-prefix matmuls (25 TFLOP/s) -> ~7 samples/sec.
-        ar_baseline = 7.0
-        print(json.dumps({
-            'metric': (f'LM1B AR-CFG samples/sec/chip (KV-cache '
-                       f'decode, B={args.batch}, '
-                       + ('tiny' if args.quick else 'DiT-small')
-                       + ')'),
-            'value': round(sps, 4),
-            'unit': 'samples/sec/chip',
-            'vs_baseline': round(sps / ar_baseline, 3),
-        }))
-        return
-
-    rng = jax.random.PRNGKey(0)
-    x_init = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)
-    cond_init = jnp.zeros((1,), jnp.int32)
-    params = model.init(rng, x_init, jnp.ones((1,)), cond_init)['params']
-
-    # The reference defaults sampling.use_cache=True; measured on-chip
-    # the cache LOSES at B=32 (2.06 vs 2.16 samples/sec): P(no decode
-    # event in a step) ~ exp(-B*L/T) ~ 0, so the lax.cond never skips
-    # a forward and the (2B, L, V) cache tensor rides the scan carry
-    # for nothing. Bench default is therefore no-cache (--cache
-    # opts back in); the config surface keeps the reference default.
-    sampler = SamplerSpec(steps=args.steps,
-                          use_cache=args.cache and not args.no_cache,
-                          fused=args.fused,
-                          first_hitting=args.first_hitting)
-    guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
-    cond = jnp.zeros((args.batch,), jnp.int32)
-
-    @jax.jit
-    def run(params, key):
-        return diffusion_sample(
-            spec, sampler, apply_fn, params, key,
-            batch_size=args.batch, length=cfg.length,
-            guidance=guidance, cond=cond, dit_cfg=cfg)
-
-    # Warmup/compile
-    out = run(params, jax.random.PRNGKey(1))
-    out.block_until_ready()
-
-    n_iters = 3 if not args.quick else 1
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = run(params, jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
-
-    n_chips = jax.device_count()
-    samples_per_sec_chip = args.batch / dt / n_chips
-    print(json.dumps({
-        'metric': (f'LM1B D-CFG samples/sec/chip ('
-                   + ('first-hitting ~ T=inf exact'
-                      if args.first_hitting else f'T={args.steps}')
-                   + f', B={args.batch}, '
-                   + ('tiny' if args.quick else 'DiT-small') + ')'),
-        'value': round(samples_per_sec_chip, 4),
-        'unit': 'samples/sec/chip',
-        'vs_baseline': round(
-            samples_per_sec_chip / A100_BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+    workloads = [
+        ('first_hitting', lambda: bench_sampling(args, True)),
+        ('ancestral', lambda: bench_sampling(args, False)),
+        ('ar', lambda: bench_ar(args)),
+        ('train', lambda: bench_train_text8(args)),
+        ('dimamba', lambda: bench_dimamba(args)),
+        ('unet', lambda: bench_unet(args)),
+    ]
+    for name, fn in workloads:
+        if not (run_all or selected[name]):
+            continue
+        try:
+            fn()
+        except Exception as e:  # emit the failure, keep going
+            print(json.dumps({'metric': name, 'error': str(e)[:500]}),
+                  flush=True)
 
 
 if __name__ == '__main__':
