@@ -446,3 +446,104 @@ def import_hf_udlm(model_dir: str):
           for k, v in sd.items()}
     params = convert_dit_params(sd, n_blocks=int(config['n_blocks']))
     return params, config
+
+
+def torch_mirror_dit_forward(state: Dict, x_np, sigma_np, cond_np=None,
+                             *, n_heads: int):
+    """Reference DIT forward re-executed in torch fp32 on a
+    reference-format state dict (mirrors
+    /root/reference/models/dit.py:131-366,426-468; the reference module
+    itself cannot be imported here — hard flash-attn dependency,
+    dit.py:4-5). Works on SYNTHETIC state dicts today and on the REAL
+    kuleshov-group/udlm-* checkpoints unchanged the day HF assets
+    appear (scripts/verify_real_weight_parity.py): the real-weight
+    parity bar of BASELINE.json.
+
+    Shapes are inferred from the state dict. Returns logits (B, L, V)
+    as numpy.
+    """
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    s = {k: torch.tensor(np.asarray(v)) for k, v in state.items()}
+    vocab, hidden = s['vocab_embed.embedding'].shape
+    n_blocks = 1 + max(int(k.split('.')[1]) for k in s
+                       if k.startswith('blocks.'))
+    x = torch.tensor(np.asarray(x_np))
+    sigma = torch.tensor(np.asarray(sigma_np))
+    B, L = x.shape
+
+    def layer_norm(h, w):
+        return F.layer_norm(h.float(), [h.shape[-1]]) * w[None, None, :]
+
+    def modulate(h, shift, scale):
+        return h * (1 + scale.unsqueeze(1)) + shift.unsqueeze(1)
+
+    # timestep embedding (dit.py:169-199)
+    half = 256 // 2
+    freqs = torch.exp(-math.log(10000) * torch.arange(half) / half)
+    args = sigma[:, None].float() * freqs[None]
+    t_freq = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+    c = t_freq @ s['sigma_map.mlp.0.weight'].T + s['sigma_map.mlp.0.bias']
+    c = F.silu(c)
+    c = c @ s['sigma_map.mlp.2.weight'].T + s['sigma_map.mlp.2.bias']
+    c = F.silu(c)
+    if cond_np is not None:
+        # c += silu(cond_map(cond)) (dit.py:437-446)
+        emb = s['cond_map.embedding_table.weight'][
+            torch.tensor(np.asarray(cond_np))]
+        c = c + F.silu(emb)
+
+    h = s['vocab_embed.embedding'][x]
+
+    # RoPE tables (dit.py:82-121)
+    head_dim = hidden // n_heads
+    inv_freq = 1.0 / (10000 ** (torch.arange(0, head_dim, 2).float()
+                                / head_dim))
+    t = torch.arange(L).float()
+    f = torch.einsum('i,j->ij', t, inv_freq)
+    cos, sin = f.cos(), f.sin()
+
+    def rope(q):  # (B, L, H, D)
+        d2 = q.shape[-1] // 2
+        q1, q2 = q[..., :d2], q[..., d2:]
+        c_ = cos[None, :, None, :]
+        s_ = sin[None, :, None, :]
+        return torch.cat([q1 * c_ - q2 * s_, q2 * c_ + q1 * s_],
+                         dim=-1)
+
+    for i in range(n_blocks):
+        p = f'blocks.{i}.'
+        mod = c @ s[p + 'adaLN_modulation.weight'].T \
+            + s[p + 'adaLN_modulation.bias']
+        (sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp) = mod.chunk(6, -1)
+        skip = h
+        hh = modulate(layer_norm(h, s[p + 'norm1.weight']), sh_msa,
+                      sc_msa)
+        qkv = hh @ s[p + 'attn_qkv.weight'].T
+        qkv = qkv.view(B, L, 3, n_heads, head_dim)
+        q, k, v = qkv.unbind(2)
+        q, k = rope(q), rope(k)
+        attn = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2),
+            v.transpose(1, 2)).transpose(1, 2).reshape(B, L, hidden)
+        h = skip + g_msa.unsqueeze(1) * (attn
+                                         @ s[p + 'attn_out.weight'].T)
+        skip = h
+        hh = modulate(layer_norm(h, s[p + 'norm2.weight']), sh_mlp,
+                      sc_mlp)
+        hh = hh @ s[p + 'mlp.0.weight'].T + s[p + 'mlp.0.bias']
+        hh = F.gelu(hh, approximate='tanh')
+        hh = hh @ s[p + 'mlp.2.weight'].T + s[p + 'mlp.2.bias']
+        h = skip + g_mlp.unsqueeze(1) * hh
+
+    mod = c @ s['output_layer.adaLN_modulation.weight'].T \
+        + s['output_layer.adaLN_modulation.bias']
+    shift, scale = mod.chunk(2, -1)
+    h = modulate(layer_norm(h, s['output_layer.norm_final.weight']),
+                 shift, scale)
+    out = h @ s['output_layer.linear.weight'].T \
+        + s['output_layer.linear.bias']
+    return out.detach().numpy()

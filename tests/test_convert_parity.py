@@ -10,89 +10,17 @@ under `convert_dit_params` matches to < 1e-3 (the BASELINE.json parity
 bar).
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
-import torch.nn.functional as F
 
 from ddg_tpu.convert import (convert_dit_params,
-                             make_reference_dit_state_dict)
+                             make_reference_dit_state_dict,
+                             torch_mirror_dit_forward)
 from ddg_tpu.models import DIT, DITConfig
 
 HIDDEN, COND, BLOCKS, VOCAB, HEADS, B, L = 64, 32, 2, 13, 4, 2, 16
-
-
-def torch_reference_dit(state, x, sigma):
-    """Reference DIT forward in torch fp32 (mirrors dit.py:426-468)."""
-    s = {k: torch.tensor(v) for k, v in state.items()}
-
-    def layer_norm(h, w):
-        return F.layer_norm(h.float(), [h.shape[-1]]) * w[None, None, :]
-
-    def modulate(h, shift, scale):
-        return h * (1 + scale.unsqueeze(1)) + shift.unsqueeze(1)
-
-    # timestep embedding (dit.py:169-199)
-    half = 256 // 2
-    freqs = torch.exp(-math.log(10000) * torch.arange(half) / half)
-    args = sigma[:, None].float() * freqs[None]
-    t_freq = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
-    c = t_freq @ s['sigma_map.mlp.0.weight'].T + s['sigma_map.mlp.0.bias']
-    c = F.silu(c)
-    c = c @ s['sigma_map.mlp.2.weight'].T + s['sigma_map.mlp.2.bias']
-    c = F.silu(c)
-
-    h = s['vocab_embed.embedding'][x]
-
-    # RoPE tables (dit.py:82-121)
-    head_dim = HIDDEN // HEADS
-    inv_freq = 1.0 / (10000 ** (torch.arange(0, head_dim, 2).float()
-                                / head_dim))
-    t = torch.arange(L).float()
-    f = torch.einsum('i,j->ij', t, inv_freq)
-    cos, sin = f.cos(), f.sin()
-
-    def rope(q):  # (B, L, H, D)
-        d2 = q.shape[-1] // 2
-        q1, q2 = q[..., :d2], q[..., d2:]
-        c_ = cos[None, :, None, :]
-        s_ = sin[None, :, None, :]
-        return torch.cat([q1 * c_ - q2 * s_, q2 * c_ + q1 * s_], dim=-1)
-
-    for i in range(BLOCKS):
-        p = f'blocks.{i}.'
-        mod = c @ s[p + 'adaLN_modulation.weight'].T \
-            + s[p + 'adaLN_modulation.bias']
-        (sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp) = mod.chunk(6, -1)
-        skip = h
-        hh = modulate(layer_norm(h, s[p + 'norm1.weight']), sh_msa,
-                      sc_msa)
-        qkv = hh @ s[p + 'attn_qkv.weight'].T
-        qkv = qkv.view(B, L, 3, HEADS, head_dim)
-        q, k, v = qkv.unbind(2)
-        q, k = rope(q), rope(k)
-        attn = F.scaled_dot_product_attention(
-            q.transpose(1, 2), k.transpose(1, 2),
-            v.transpose(1, 2)).transpose(1, 2).reshape(B, L, HIDDEN)
-        h = skip + g_msa.unsqueeze(1) * (attn @ s[p + 'attn_out.weight'].T)
-        skip = h
-        hh = modulate(layer_norm(h, s[p + 'norm2.weight']), sh_mlp,
-                      sc_mlp)
-        hh = hh @ s[p + 'mlp.0.weight'].T + s[p + 'mlp.0.bias']
-        hh = F.gelu(hh, approximate='tanh')
-        hh = hh @ s[p + 'mlp.2.weight'].T + s[p + 'mlp.2.bias']
-        h = skip + g_mlp.unsqueeze(1) * hh
-
-    mod = c @ s['output_layer.adaLN_modulation.weight'].T \
-        + s['output_layer.adaLN_modulation.bias']
-    shift, scale = mod.chunk(2, -1)
-    h = modulate(layer_norm(h, s['output_layer.norm_final.weight']),
-                 shift, scale)
-    return h @ s['output_layer.linear.weight'].T \
-        + s['output_layer.linear.bias']
 
 
 def test_converted_weights_match_torch_mirror():
@@ -103,8 +31,8 @@ def test_converted_weights_match_torch_mirror():
     sigma_np = rng.rand(B).astype(np.float32) * 3
 
     with torch.no_grad():
-        want = torch_reference_dit(state, torch.tensor(x_np),
-                                   torch.tensor(sigma_np)).numpy()
+        want = torch_mirror_dit_forward(state, x_np, sigma_np,
+                                        n_heads=HEADS)
 
     cfg = DITConfig(hidden_size=HIDDEN, cond_dim=COND, length=L,
                     n_blocks=BLOCKS, n_heads=HEADS, dropout=0.0,
