@@ -342,6 +342,56 @@ class TestLCSC:
                         max_batches=2)
         assert res['score'] <= m0.ppl * 1.0001
 
+    def test_lcsc_beats_best_single_checkpoint(self, tmp_path):
+        """Fidelity: on a snapshot trail with KNOWN quality ordering
+        (training on synthetic text8 steadily improves val PPL), the
+        evolutionary search over full-validation PPL returns a merge at
+        least as good as the best single checkpoint — i.e. the search
+        optimizes what it claims (reference lcsc.py:94-195 runs full
+        validation per candidate; fitness_batches=0 = full here)."""
+        cfg = _tiny_config(tmp_path, extra=(
+            'trainer.max_steps=24', 'trainer.val_check_interval=24',
+            'checkpointing.snapshot_every_n_steps=4',))
+        M.train(cfg)
+        from ddg_tpu.runtime.checkpoint import CheckpointManager
+        mgr = CheckpointManager(f'{tmp_path}/run/checkpoints')
+        snaps = mgr.list_snapshots()
+        assert len(snaps) >= 5, snaps
+
+        lcfg = _tiny_config(tmp_path, extra=(
+            'mode=lcsc', 'trainer.max_steps=24',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last',
+            '+lcsc.metric=ppl', '+lcsc.fitness_batches=0',  # full val
+            '+lcsc.population_size=6', '+lcsc.iterations=4',
+            '+lcsc.offspring_per_iter=6'))
+
+        # Individual full-validation PPL per snapshot: establishes the
+        # known ordering (later checkpoints better) and the bar.
+        import dataclasses as _dc
+
+        from ddg_tpu.runtime.averaging import averaged_params
+        tokenizer = M.build_tokenizer(lcfg)
+        spec = M.build_diffusion_spec(lcfg, tokenizer)
+        _, _, apply_fn, state, _ = M._restore_for_eval(lcfg)
+        data = M.build_data(lcfg)
+        singles = []
+        for s in snaps:
+            st, _ = mgr.restore(f'step-{s}', state)
+            stp = _dc.replace(
+                state, params=averaged_params(st.averaging, st.params),
+                averaging=None)
+            m = M.validate(lcfg, spec, apply_fn, stp, data['valid'],
+                           rng=jax.random.PRNGKey(int(lcfg.seed)))
+            singles.append(m.ppl)
+        # training made progress: last snapshot beats the first
+        assert singles[-1] < singles[0], singles
+
+        res = M.lcsc_search(lcfg)
+        best_single = min(singles)
+        assert res['score'] <= best_single * 1.0005, (
+            f'LCSC merge {res["score"]} worse than best single '
+            f'checkpoint {best_single} (singles: {singles})')
+
     def test_combine_and_search(self):
         from ddg_tpu.lcsc import combine_checkpoints_diff, run_lcsc
         import jax.numpy as jnp
