@@ -14,11 +14,12 @@ Subsequent lines (default run) cover the rest of the perf story:
   * Species10 DiMamba training step (hidden 256, 8 blocks, L=32768)
   * CIFAR10 UNet uniform-diffusion guided sampling (fused kernel)
 
-Every line carries an `mfu` field: measured FLOPs (XLA's compiled cost
-analysis — exact for the XLA ops, conservative where Pallas kernels
-replace XLA ops) / wall time / peak bf16 FLOPs of the chip (v5e:
-197e12). Lines are emitted as each workload finishes, so a failure in
-one workload doesn't lose the others.
+Every line carries an `mfu` field: analytic model FLOPs (documented
+closed forms below — XLA's cost_analysis counts while-loop bodies ONCE,
+not x trip count, so it is useless for scan-driven samplers) / wall
+time / peak bf16 FLOPs of the chip (v5e: 197e12). Lines are emitted as
+each workload finishes, so a failure in one workload doesn't lose the
+others.
 
 `vs_baseline` is measured throughput over an estimated reference A100
 throughput. The reference publishes no numbers (SURVEY §6), so the
@@ -60,25 +61,56 @@ def _peak_flops():
     return None
 
 
-def _flops_of(jitted, *args):
-    """Per-execution FLOPs from the compiled program (0 on failure)."""
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        return float(cost.get('flops', 0.0))
-    except Exception:
-        return 0.0
+def dit_trunk_flops(B, L, D, n_blocks):
+    """One DiT trunk forward (matmul FLOPs; 2*m*n*k per matmul):
+    per block qkv (6BLD^2) + attention QK^T/AV (4BL^2D) + out proj
+    (2BLD^2) + MLP 4x (16BLD^2) = 24BLD^2 + 4BL^2D."""
+    return n_blocks * (24 * B * L * D * D + 4 * B * L * L * D)
+
+
+def dit_head_flops(B, L, D, V):
+    return 2 * B * L * D * V
+
+
+def dimamba_train_flops(B, L, D, n_blocks, d_state, *,
+                        bidirectional=True, dt_rank=None):
+    """DiMamba fwd matmul+scan FLOPs x3 for fwd+bwd (remat recompute is
+    real work and is counted by the x3 like everywhere else). Per block
+    per direction: in_proj D->2*d_in (8BLD^2 at d_in=2D), x_proj
+    (2BL*d_in*(dt_rank+2N)), dt_proj (2BL*dt_rank*d_in), out_proj
+    (4BLD^2), conv (8BL*d_in), scan ~6 flops per (l, d_in, N) cell."""
+    d_in = 2 * D
+    dt_rank = dt_rank or max(1, D // 16)
+    per_dir = (2 * B * L * D * (2 * d_in)
+               + 2 * B * L * d_in * (dt_rank + 2 * d_state)
+               + 2 * B * L * dt_rank * d_in
+               + 2 * B * L * d_in * D
+               + 8 * B * L * d_in
+               + 6 * B * L * d_in * d_state)
+    ndir = 2 if bidirectional else 1
+    return 3 * n_blocks * ndir * per_dir
+
+
+def _sync(out):
+    """Force completion. jax.block_until_ready returns EARLY through
+    the axon remote runtime (measured: a 5-call matmul chain 'blocks'
+    in 0.3ms, then the scalar pull takes the real 200s+) — only a host
+    transfer synchronizes reliably, so reduce one leaf to a scalar and
+    pull it."""
+    leaf = jax.tree.leaves(out)[0]
+    s = jnp.sum(leaf) if getattr(leaf, 'ndim', 0) else leaf
+    float(jax.device_get(s))
 
 
 def _timeit(fn, args, iters, warmup=1):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -150,7 +182,16 @@ def bench_sampling(args, first_hitting):
                                 guidance=guidance, cond=cond,
                                 dit_cfg=cfg)
 
-    flops = _flops_of(run, params, jax.random.PRNGKey(1))
+    L, D, V = cfg.length, cfg.hidden_size, cfg.vocab_size
+    if first_hitting:
+        # L decode events, each one 2B-batched CFG trunk forward +
+        # per-position head (vocab projection on ONE position).
+        flops = L * (dit_trunk_flops(2 * batch, L, D, cfg.n_blocks)
+                     + 2 * (2 * batch) * D * V)
+    else:
+        # T steps x (2B CFG trunk + feature-mix head on B rows)
+        flops = steps * (dit_trunk_flops(2 * batch, L, D, cfg.n_blocks)
+                         + dit_head_flops(batch, L, D, V))
     dt, _ = _timeit(run, (params, jax.random.PRNGKey(2)),
                     iters=1 if args.quick else 3)
     sps = batch / dt / jax.device_count()
@@ -181,7 +222,13 @@ def bench_ar(args):
                          length=cfg.length, bos_token_id=0,
                          guidance=guidance, cond=cond, decode_cfg=cfg)
 
-    flops = _flops_of(run, params, jax.random.PRNGKey(1))
+    # Incremental KV-cache decode, 2B CFG rows: per generated token
+    # 24D^2 matmul FLOPs/row + attention against the prefix (4D*l),
+    # summed over l=1..L, + the per-token vocab head.
+    L, D, V = cfg.length, cfg.hidden_size, cfg.vocab_size
+    flops = (2 * batch) * cfg.n_blocks * (24 * D * D * L
+                                          + 2 * D * L * L) \
+        + L * 2 * (2 * batch) * D * V
     dt, _ = _timeit(run, (params, jax.random.PRNGKey(2)),
                     iters=1 if args.quick else 3)
     sps = batch / dt / jax.device_count()
@@ -213,7 +260,7 @@ def bench_train_text8(args):
         cfg = DITConfig(hidden_size=768, cond_dim=128, length=256,
                         n_blocks=12, n_heads=12, dropout=0.1,
                         vocab_size=35)
-        B = 512
+        B = args.batch or 256
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
                          vocab_size=cfg.vocab_size,
@@ -231,25 +278,27 @@ def bench_train_text8(args):
     batch = {'input_ids': x,
              'attention_mask': jnp.ones((B, cfg.length), jnp.float32)}
 
-    flops = _flops_of(step, state, batch)
-    # donation: rebuild state after lowering consumed nothing, but each
-    # timed call donates, so thread the state through the loop.
+    # fwd+bwd ~ 3x the forward matmul FLOPs
+    flops = 3 * (dit_trunk_flops(B, cfg.length, cfg.hidden_size,
+                                 cfg.n_blocks)
+                 + dit_head_flops(B, cfg.length, cfg.hidden_size,
+                                  cfg.vocab_size))
+    # donation: thread the state through the timing loop; _sync pulls
+    # the loss each step (block_until_ready is unreliable on axon).
     state, m = step(state, batch)
-    jax.block_until_ready(m)
+    _sync(m['loss'])
     iters = 1 if args.quick else 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+        _sync(m['loss'])
     dt = (time.perf_counter() - t0) / iters
     tok_s = B * cfg.length / dt / jax.device_count()
     n_chips = jax.device_count()
-    baseline = (A100_EFFECTIVE_FLOPS / (flops / (B * cfg.length))
-                if flops else None)
+    baseline = A100_EFFECTIVE_FLOPS / (flops / (B * cfg.length))
     return _emit(
         f'text8 train tokens/sec/chip (DiT-small, L={cfg.length}, '
-        f'B={B})', tok_s, 'tokens/sec/chip',
-        tok_s / baseline if baseline else None,
+        f'B={B})', tok_s, 'tokens/sec/chip', tok_s / baseline,
         _mfu(flops / n_chips, dt))
 
 
@@ -296,14 +345,16 @@ def bench_dimamba(args):
              'attention_mask': jnp.ones((B, cfg.length), jnp.float32),
              'cond': cond}
 
-    flops = _flops_of(step, state, batch)
+    flops = dimamba_train_flops(B, cfg.length, cfg.hidden_size,
+                                cfg.n_blocks, cfg.d_state,
+                                bidirectional=cfg.bidirectional)
     state, m = step(state, batch)
-    jax.block_until_ready(m)
+    _sync(m['loss'])
     iters = 1 if args.quick else 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+        _sync(m['loss'])
     dt = (time.perf_counter() - t0) / iters
     tok_s = B * cfg.length / dt / jax.device_count()
     return _emit(
@@ -360,7 +411,26 @@ def bench_unet(args):
                                 batch_size=B, length=L,
                                 guidance=guidance, cond=cond)
 
-    flops = _flops_of(run, params, jax.random.PRNGKey(1))
+    # Per-forward FLOPs from XLA cost analysis of ONE un-scanned UNet
+    # apply (cost_analysis is valid there — no while loop to undercount)
+    # x steps; the CFG pair runs as one 2B-batched forward per step.
+    @jax.jit
+    def one_fwd(params, x, sigma, c):
+        return apply_fn(params, x, sigma, c, None, train=False,
+                        rng=None)
+
+    x2 = jnp.zeros((2 * B, L), jnp.int32)
+    s2 = jnp.ones((2 * B,))
+    c2 = jnp.zeros((2 * B,), jnp.int32)
+    fwd_flops = 0.0
+    try:
+        cost = one_fwd.lower(params, x2, s2, c2).compile() \
+            .cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        fwd_flops = float(cost.get('flops', 0.0))
+    except Exception:
+        pass
+    flops = steps * fwd_flops
     dt, out = _timeit(run, (params, jax.random.PRNGKey(2)),
                       iters=1 if args.quick else 3)
     assert out.shape == (B, L)

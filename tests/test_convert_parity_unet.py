@@ -15,6 +15,7 @@ reference UNet checkpoints exist to compare against —
 reference README.md:231-236 publishes DiT/UDLM only).
 """
 
+import pytest
 import math
 
 import jax
@@ -24,6 +25,8 @@ import torch
 import torch.nn.functional as F
 
 from ddg_tpu.models.unet import UNet, UNetConfig
+
+pytestmark = pytest.mark.slow
 
 CH, SCALES, RES, VOCAB, IMG = 8, 2, 1, 7, 8
 CH_MULT = (1, 2)

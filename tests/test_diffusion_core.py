@@ -175,6 +175,7 @@ class TestSampling:
 
 
 class TestCacheEquivalence:
+    @pytest.mark.slow
     def test_cache_on_off_same_distribution(self):
         """The MDLM cache must not change the sampling distribution: with
         identical keys the trajectories must be identical, because cached

@@ -1,6 +1,7 @@
 """DiMamba tests: selective-scan correctness vs a naive sequential
 reference, chunking invariance, bidirectionality, tying, training."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -71,6 +72,7 @@ class TestDiMambaModel:
         params = model.init(KEY, x, sigma, cond)['params']
         return model, params, x, sigma
 
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model, params, x, sigma = self._init()
         logits = model.apply({'params': params}, x, sigma)
@@ -81,6 +83,7 @@ class TestDiMambaModel:
         np.testing.assert_allclose(np.asarray(logits),
                                    np.asarray(logits2), atol=1e-5)
 
+    @pytest.mark.slow
     def test_bidirectional_sees_future(self):
         model, params, x, sigma = self._init()
         # zero-init adaLN gates the mixer out at init; perturb params
@@ -120,6 +123,7 @@ class TestDiMambaModel:
         out = model.apply({'params': params}, x, sigma)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_conditioning(self):
         cfg = dataclasses.replace(CFG, num_classes=4)
         model, params, x, sigma = self._init(
@@ -137,6 +141,7 @@ class TestDiMambaModel:
                            jnp.ones((2,), jnp.int32))
         assert float(jnp.abs(out0 - out1).max()) > 1e-7
 
+    @pytest.mark.slow
     def test_trains_with_diffusion_loss(self):
         from ddg_tpu.diffusion import DiffusionSpec, loss_fn
         from ddg_tpu.models import make_model_apply
@@ -161,6 +166,7 @@ class TestDiMambaModel:
         assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_classifier_poolings():
     clf = DiMambaClassifier(CFG, num_classes=3, pooling='mean')
     x = jax.random.randint(KEY, (2, CFG.length), 0, CFG.vocab_size)

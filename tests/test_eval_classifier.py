@@ -16,6 +16,8 @@ from ddg_tpu.config import load_config
 from ddg_tpu.guidance_eval.runners import (make_eval_classifier,
                                            ten_species_eval)
 
+pytestmark = pytest.mark.slow
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), '..', 'configs')
 
 BASE = [

@@ -266,6 +266,7 @@ class TestPplEvalAll:
                      'time_conditioning=True', 'zero_recon_loss=True'],
     }
 
+    @pytest.mark.slow
     def test_three_family_sweep(self, tmp_path):
         base = [
             'data=qm9', 'model=tiny',
@@ -301,6 +302,7 @@ class TestPplEvalAll:
 
 
 class TestLCSC:
+    @pytest.mark.slow
     def test_lcsc_mode_from_config(self, tmp_path):
         """mode=lcsc end-to-end: the train loop writes the step-N
         snapshot trail (checkpointing.snapshot_every_n_steps; the
@@ -342,6 +344,7 @@ class TestLCSC:
                         max_batches=2)
         assert res['score'] <= m0.ppl * 1.0001
 
+    @pytest.mark.slow
     def test_lcsc_beats_best_single_checkpoint(self, tmp_path):
         """Fidelity: on a snapshot trail with KNOWN quality ordering
         (training on synthetic text8 steadily improves val PPL), the

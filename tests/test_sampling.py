@@ -1,5 +1,6 @@
 """Sampling primitive tests: Gumbel-max distribution, low-confidence mask."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +59,7 @@ def test_sample_token_gumbel():
     np.testing.assert_allclose(counts, [0.8, 0.15, 0.05], atol=0.03)
 
 
+@pytest.mark.slow
 def test_first_hitting_nonloglinear_matches_ancestral():
     """First-hitting with a cosine schedule: decode-time quantile
     mapping through inverse_total_noise must reproduce the ancestral

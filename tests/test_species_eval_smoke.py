@@ -1,6 +1,7 @@
 """Species10 guidance-eval pipeline smoke: tiny DiMamba -> per-class
 sampling -> classifier metrics + k-mer JS + discriminator AUROC."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,8 @@ from ddg_tpu.models import make_model_apply
 from ddg_tpu.models.dimamba import DiMamba, DiMambaConfig
 from ddg_tpu.ops.noise_schedules import LogLinearNoise
 from ddg_tpu.samplers import SamplerSpec
+
+pytestmark = pytest.mark.slow
 
 KEY = jax.random.PRNGKey(0)
 

@@ -1,6 +1,7 @@
 """UNet tests: shapes, logistic head properties, diffusion-loss
 integration (tiny 8x8 images)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -62,6 +63,7 @@ def test_class_conditioning_changes_output():
     assert float(jnp.abs(out0 - out1).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_trains_with_uniform_diffusion_loss():
     from ddg_tpu.diffusion import DiffusionSpec, loss_fn
     from ddg_tpu.models import make_model_apply
