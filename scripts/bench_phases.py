@@ -17,14 +17,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(fn, *args, iters=50, warmup=5):
+def _sync(out):
+    """block_until_ready returns EARLY on the axon remote runtime; only
+    a host transfer synchronizes (see bench.py _sync / CLAUDE.md)."""
+    leaf = jax.tree.leaves(out)[0]
+    s = jnp.sum(leaf) if getattr(leaf, 'ndim', 0) else leaf
+    float(jax.device_get(s))
+
+
+def _timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -78,8 +86,25 @@ def main():
     sampler = SamplerSpec(steps=100, use_cache=False, fused=True)
     guidance = GuidanceSpec(method='cfg', gamma=gamma, condition=0)
 
-    print(f'{"B":>4} {"trunk2B":>9} {"head":>9} {"kernel":>9} '
-          f'{"sum":>9} {"full/step":>10}')
+    # Pure-matmul reference: the same matmul shapes as 12 DiT blocks
+    # (qkv/out/mlp-in/mlp-out) with no attention/norms/modulation —
+    # the MXU floor for the trunk at each batch.
+    D = cfg.hidden_size
+    Wq = jnp.zeros((D, 3 * D), jnp.bfloat16)
+    Wo = jnp.zeros((D, D), jnp.bfloat16)
+    W1 = jnp.zeros((D, 4 * D), jnp.bfloat16)
+    W2 = jnp.zeros((4 * D, D), jnp.bfloat16)
+
+    @jax.jit
+    def mmref(h, Wq, Wo, W1, W2):
+        for _ in range(cfg.n_blocks):
+            q = h @ Wq
+            h = h + q[:, :, :D] @ Wo
+            h = h + jax.nn.gelu(h @ W1) @ W2
+        return h
+
+    print(f'{"B":>4} {"trunk2B":>9} {"mmref2B":>9} {"head":>9} '
+          f'{"kernel":>9} {"sum":>9} {"full/step":>10}')
     for B in args.batches:
         x2 = jnp.zeros((2 * B, L), jnp.int32)
         s2 = jnp.ones((2 * B,))
@@ -87,6 +112,8 @@ def main():
                               jnp.full((B,), 2, jnp.int32)])
         hidden2, cvec2 = trunk(params, x2, s2, c2)
         t_trunk = _timeit(trunk, params, x2, s2, c2)
+        h0 = jnp.zeros((2 * B, L, D), jnp.bfloat16)
+        t_mm = _timeit(mmref, h0, Wq, Wo, W1, W2)
         logits = head(params, hidden2, cvec2)
         t_head = _timeit(head, params, hidden2, cvec2)
         xt = jnp.full((B, L), spec.mask_index, jnp.int32)
@@ -106,10 +133,10 @@ def main():
 
         t_full = _timeit(full, params, jax.random.PRNGKey(1), iters=3,
                          warmup=1) / sampler.steps
-        print(f'{B:>4} {t_trunk*1e3:>8.2f}m {t_head*1e3:>8.2f}m '
-              f'{t_kern*1e3:>8.2f}m '
+        print(f'{B:>4} {t_trunk*1e3:>8.2f}m {t_mm*1e3:>8.2f}m '
+              f'{t_head*1e3:>8.2f}m {t_kern*1e3:>8.2f}m '
               f'{(t_trunk+t_head+t_kern)*1e3:>8.2f}m '
-              f'{t_full*1e3:>9.2f}m')
+              f'{t_full*1e3:>9.2f}m', flush=True)
 
 
 if __name__ == '__main__':

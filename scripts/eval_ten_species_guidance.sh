@@ -50,6 +50,7 @@ out = ten_species_eval(
     gamma=float(config.guidance.gamma), length=length,
     eval_classifier=eval_classifier, reference_sequences=ref_seqs,
     discriminator_scores=disc_scores, dit_cfg=model_cfg,
-    output_path='ten_species_guidance_eval.json')
+    output_path=os.environ.get('OUTPUT_JSON',
+                               'ten_species_guidance_eval.json'))
 print(out)
 PY
