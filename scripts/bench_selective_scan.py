@@ -19,14 +19,22 @@ from ddg_tpu.models.dimamba import selective_scan
 from ddg_tpu.ops.selective_scan_pallas import selective_scan_pallas
 
 
+def _sync(out):
+    # block_until_ready returns EARLY on the axon remote runtime; only
+    # a host transfer synchronizes (see bench.py _sync / CLAUDE.md).
+    leaf = jax.tree.leaves(out)[0]
+    s = jnp.sum(leaf) if getattr(leaf, 'ndim', 0) else leaf
+    float(jax.device_get(s))
+
+
 def _timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
