@@ -127,7 +127,8 @@ def _suffix_scan(a_up, w, *, seg: int = 8):
 
 
 def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
-                d_vec_ref, y_ref, h0_out_ref, h_scr):
+                d_vec_ref, y_ref, h0_out_ref, h_scr, *, seg,
+                scan_dtype):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -147,7 +148,13 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
 
     a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
     b = (dt * u)[:, None, :] * Bc[..., None]          # (C, N, d)
-    h_all = _chunk_states(h0, a, b)
+    # Optional reduced-precision scan arithmetic (a in (0,1), b small:
+    # the affine-scan FMAs tolerate bf16; cross-chunk state stays fp32
+    # in the scratch so error does not compound across chunks).
+    a = a.astype(scan_dtype)
+    b = b.astype(scan_dtype)
+    h_all = _chunk_states(h0.astype(scan_dtype), a, b,
+                          seg=seg).astype(jnp.float32)
     h_scr[...] = _time_row(h_all, -1)
     # Fused epilogue: y = (scan + D*u) * silu(z) — three elementwise
     # HBM passes of the unfused chain folded into the kernel.
@@ -158,7 +165,7 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
 def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
                 d_vec_ref, h0_ref, g_ref,
                 du_ref, ddt_ref, db_ref, dc_ref, da_log_ref, dz_ref,
-                dd_vec_ref, carry_scr):
+                dd_vec_ref, carry_scr, *, seg, scan_dtype):
     """Adjoint scan; grid index k maps to chunk nc-1-k (reverse
     chunk order, see the index maps). carry_scr holds
     a_first*dh_first of the chunk to the right (zero at the last).
@@ -186,7 +193,9 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # Recompute within-chunk forward states.
     a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
     b = (dt * u)[:, None, :] * Bc[..., None]
-    h_all = _chunk_states(h0, a, b)
+    h_all = _chunk_states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                          b.astype(scan_dtype),
+                          seg=seg).astype(jnp.float32)
     # h_{t-1}: shift down by one, h0 at t=0.
     h_prev = jnp.where(t_ids == 0, h0[None],
                        pltpu.roll(h_all, 1, 0))
@@ -206,7 +215,8 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
     a_up = jnp.where(t_ids == C_len - 1, 1.0,
                      pltpu.roll(a, C_len - 1, 0))
-    dh = _suffix_scan(a_up, w)                        # (C, N, d)
+    dh = _suffix_scan(a_up.astype(scan_dtype), w.astype(scan_dtype),
+                      seg=seg).astype(jnp.float32)    # (C, N, d)
 
     carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
 
@@ -252,7 +262,7 @@ def _specs(chunk, d_tile, N, *, rev, nc):
 
 
 def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
-              interpret):
+              interpret, seg=8, scan_dtype=jnp.float32):
     B, L, d = u.shape
     N = A_log.shape[0]
     nc = L // chunk
@@ -261,7 +271,7 @@ def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
     d_spec = pl.BlockSpec((1, d_tile), lambda bi, di, k: (0, di),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, seg=seg, scan_dtype=scan_dtype),
         grid=(B, d // d_tile, nc),
         in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, u_spec,
                   d_spec],
@@ -274,7 +284,7 @@ def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
 
 
 def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
-              d_tile, interpret):
+              d_tile, interpret, seg=8, scan_dtype=jnp.float32):
     B, L, d = u.shape
     N = A_log.shape[0]
     nc = L // chunk
@@ -294,7 +304,7 @@ def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
                            lambda bi, di, k: (di, bi, kmap(k), 0),
                            memory_space=pltpu.VMEM)
     du, ddt, db, dc, dAlog, dz, dD = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, seg=seg, scan_dtype=scan_dtype),
         grid=(B, n_d, nc),
         in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, u_spec,
                   d_spec, h0_spec, u_spec],
@@ -314,34 +324,43 @@ def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
             dAlog.sum(axis=0), dz, dD.sum(axis=0).reshape(d))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11,
+                                                    12))
 def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
-             d_tile_bwd=128, interpret=False):
+             d_tile_bwd=128, interpret=False, seg=8,
+             scan_dtype=jnp.float32):
     """y_t = (sum_n C_{t,n} h_{t,n,:} + D u_t) * silu(z_t) with the
     Mamba recurrence — skip connection and gate fused in-kernel.
 
     u, delta, z: (B, L, d); A_log: (N, d) with A = -exp(A_log);
     Bc, Cc: (B, L, N); Dv: (d,). Returns y (B, L, d) fp32.
     Differentiable wrt all seven tensor args. chunk must divide L;
-    d_tile(|_bwd) divide d.
+    d_tile(|_bwd) divide d. seg = sequential-segment length of the
+    hybrid within-chunk scan; scan_dtype = in-kernel dtype of the
+    affine-scan FMAs (bfloat16 halves VPU width; cross-chunk state
+    stays fp32).
     """
     y, _ = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
-                     d_tile=d_tile, interpret=interpret)
+                     d_tile=d_tile, interpret=interpret, seg=seg,
+                     scan_dtype=scan_dtype)
     return y
 
 
 def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, z, Dv, chunk, d_tile,
-                      d_tile_bwd, interpret):
+                      d_tile_bwd, interpret, seg, scan_dtype):
     y, h0s = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
-                       d_tile=d_tile, interpret=interpret)
+                       d_tile=d_tile, interpret=interpret, seg=seg,
+                       scan_dtype=scan_dtype)
     return y, (u, delta, A_log, Bc, Cc, z, Dv, h0s)
 
 
-def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, res, g):
+def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, seg,
+                      scan_dtype, res, g):
     u, delta, A_log, Bc, Cc, z, Dv, h0s = res
     du, ddt, db, dc, dAlog, dz, dD = _bwd_call(
         u, delta, A_log, Bc, Cc, z, Dv, h0s, g, chunk=chunk,
-        d_tile=d_tile_bwd, interpret=interpret)
+        d_tile=d_tile_bwd, interpret=interpret, seg=seg,
+        scan_dtype=scan_dtype)
     return (du.astype(u.dtype), ddt.astype(delta.dtype),
             dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
             dc.astype(Cc.dtype), dz.astype(z.dtype),
@@ -371,7 +390,8 @@ def _pad_time(x, chunk):
 
 def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
                           d_tile=None, d_tile_bwd=None,
-                          interpret=False):
+                          interpret=False, seg=8,
+                          scan_dtype=jnp.float32):
     """Drop-in replacement for models/dimamba.py::selective_scan with
     the recurrence in a Pallas kernel. u, delta, z: (B, L, d);
     A: (d, N) (= -exp(A_log)); B, C: (B, L, N); D: (d,).
@@ -399,5 +419,5 @@ def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
     zp = _pad_time(z, chunk)
     y = ssm_scan(up, dtp, A_log, Bp, Cp, zp,
                  D.astype(jnp.float32), chunk, d_tile, d_tile_bwd,
-                 interpret)
+                 interpret, seg, scan_dtype)
     return y[:, :L].astype(u.dtype)
