@@ -68,21 +68,35 @@ def main():
     Dv = jax.random.normal(ks[5], (d,))
     z = jax.random.normal(ks[6], (B, L, d), jnp.float32)
 
+    # Amortize the ~30 ms per-dispatch overhead of the remote runtime:
+    # run K kernel invocations inside ONE jitted lax.scan (inputs
+    # perturbed per iteration so XLA cannot CSE them away) and divide.
+    K = 8
+
     @jax.jit
     def scan_fwd(u, delta, A_log, Bc, Cc, z, Dv):
-        return ssm_scan(u, delta, A_log, Bc, Cc, z, Dv)
+        def body(acc, i):
+            y = ssm_scan(u + acc * 1e-20, delta, A_log, Bc, Cc, z, Dv)
+            return jnp.sum(y[0, 0]), None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
+        return acc
 
     @jax.jit
     def scan_fwdbwd(u, delta, A_log, Bc, Cc, z, Dv):
         def loss(*a):
             return jnp.sum(ssm_scan(*a))
-        return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))(
-            u, delta, A_log, Bc, Cc, z, Dv)[0]
+
+        def body(acc, i):
+            g = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))(
+                u + acc * 1e-20, delta, A_log, Bc, Cc, z, Dv)[0]
+            return jnp.sum(g[0, 0]), None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
+        return acc
 
     t_fwd = _timeit(scan_fwd, u, delta, A_log, Bc, Cc, z, Dv,
-                    iters=args.iters)
+                    iters=3) / K
     t_fb = _timeit(scan_fwdbwd, u, delta, A_log, Bc, Cc, z, Dv,
-                   iters=args.iters)
+                   iters=3) / K
     per_dir_blocks = 2 * args.blocks
     print(f'scan kernel: fwd {t_fwd*1e3:.2f} ms  fwd+bwd '
           f'{t_fb*1e3:.2f} ms  (x{per_dir_blocks} dir-blocks: '

@@ -1,0 +1,63 @@
+"""On-chip sweep: seg x scan_dtype for the selective-scan kernel at the
+Species10 shape, fwd and fwd+bwd, with honest sync + correctness vs
+the fp32 kernel."""
+import time
+import jax, jax.numpy as jnp
+from ddg_tpu.ops.selective_scan_pallas import selective_scan_pallas
+
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    float(jax.device_get(jnp.sum(leaf)))
+
+def timeit(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+ks = jax.random.split(jax.random.PRNGKey(0), 7)
+B, L, d, N = 2, 32768, 512, 16
+u = jax.random.normal(ks[0], (B, L, d))
+delta = jax.nn.softplus(jax.random.normal(ks[1], (B, L, d)) - 1)
+A = -jnp.exp(jax.random.normal(ks[2], (d, N)) * 0.5)
+Bc = jax.random.normal(ks[3], (B, L, N))
+Cc = jax.random.normal(ks[4], (B, L, N))
+D = jax.random.normal(ks[5], (d,))
+z = jax.random.normal(ks[6], (B, L, d))
+
+K = 8  # amortize the ~30 ms per-dispatch overhead inside one program
+ref = None
+for seg, dt in [(8, jnp.float32), (4, jnp.float32), (16, jnp.float32),
+                (8, jnp.bfloat16), (16, jnp.bfloat16)]:
+    one = lambda *a, seg=seg, dt=dt: selective_scan_pallas(
+        *a, seg=seg, scan_dtype=dt)
+
+    @jax.jit
+    def fwdK(u, delta, A, Bc, Cc, D, z, one=one):
+        def body(acc, i):
+            y = one(u + acc * 1e-20, delta, A, Bc, Cc, D, z)
+            return jnp.sum(y[0, 0]), None
+        return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
+
+    @jax.jit
+    def fbK(u, delta, A, Bc, Cc, D, z, one=one):
+        loss = lambda *b: jnp.sum(one(*b))
+        def body(acc, i):
+            g = jax.grad(loss, argnums=(0, 1, 3, 4, 6))(
+                u + acc * 1e-20, delta, A, Bc, Cc, D, z)[0]
+            return jnp.sum(g[0, 0]), None
+        return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
+
+    y = jax.jit(one)(u, delta, A, Bc, Cc, D, z)
+    if ref is None:
+        ref = y
+    rel = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    t_f = timeit(fwdK, u, delta, A, Bc, Cc, D, z, iters=3) / K
+    t_fb = timeit(fbK, u, delta, A, Bc, Cc, D, z, iters=3) / K
+    name = 'bf16' if dt == jnp.bfloat16 else 'fp32'
+    print(f'seg={seg:>2} {name}: fwd {t_f*1e3:7.2f} ms  fwd+bwd '
+          f'{t_fb*1e3:7.2f} ms  rel-err {rel:.2e}', flush=True)
