@@ -182,6 +182,9 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             expand=int(mc.get('expand', 2)),
             scan_chunk=int(mc.get('scan_chunk', 128)),
             pallas_scan=mc.get('pallas_scan', 'auto'),
+            dt_inkernel=bool(mc.get('dt_inkernel', False)),
+            scan_seg=int(mc.get('scan_seg', 8)),
+            scan_seg_bwd=int(mc.get('scan_seg_bwd', 4)),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
@@ -251,6 +254,9 @@ def build_classifier_model(config: Config, spec):
             expand=int(mc.get('expand', 2)),
             scan_chunk=int(mc.get('scan_chunk', 128)),
             pallas_scan=mc.get('pallas_scan', 'auto'),
+            dt_inkernel=bool(mc.get('dt_inkernel', False)),
+            scan_seg=int(mc.get('scan_seg', 8)),
+            scan_seg_bwd=int(mc.get('scan_seg_bwd', 4)),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'

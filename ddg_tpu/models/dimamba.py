@@ -60,6 +60,19 @@ class DiMambaConfig:
     # (ops/selective_scan_pallas.py): HBM-minimal, custom VJP. 'auto'
     # = on when the default backend is TPU; True/False force it.
     pallas_scan: str | bool = 'auto'
+    # Fuse dt_proj + softplus into the scan kernel (delta never hits
+    # HBM). Active only on the pallas path with scan_chunk | L; grads
+    # validated on chip to ~3e-5 vs the composite. Default OFF: at the
+    # Species10 shape the full train step measured neutral (411.7 ms
+    # on vs 400.8 ms off — XLA already overlaps the dt_proj); the
+    # HBM saving may pay at larger batch.
+    dt_inkernel: bool = False
+    # Hybrid-scan segment lengths inside the Pallas kernel (fwd pass /
+    # bwd pass). Measured at the Species10 shape on v5e: fwd is
+    # fastest at seg=8, the bwd kernel at seg=4 (sweep in
+    # scripts/bench_scan_sweep.py).
+    scan_seg: int = 8
+    scan_seg_bwd: int = 4
     dropout: float = 0.1
     # Rematerialize each block in the backward pass: the selective scan
     # stores h (B, L, d_inner, N) per direction, which at L=32768 is
@@ -201,12 +214,17 @@ class MambaCore(nn.Module):
             dt_val = jnp.clip(dt_val, 1e-4, None)
             return dt_val + jnp.log(-jnp.expm1(-dt_val))
 
-        dt = nn.Dense(
+        # precision=HIGHEST: the TPU default matmul is single-pass
+        # bf16; dt feeds exp() in the recurrence, which amplifies the
+        # ~1e-3 rounding. Matches the fused kernel's in-kernel dt
+        # matmul (and the reference's fp32 dt_proj).
+        dt_dense = nn.Dense(
             d, use_bias=True,
             kernel_init=nn.initializers.uniform(scale=2 * dt_init_std),
             bias_init=dt_bias_init,
-            dtype=jnp.float32, name='dt_proj')(dt.astype(jnp.float32))
-        delta = jax.nn.softplus(dt)
+            dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            name='dt_proj')
+        dt_lr = dt.astype(jnp.float32)
 
         # S4D-real init: A = -(1..N) per channel (dimamba.py:131-139).
         A_log = self.param(
@@ -221,11 +239,30 @@ class MambaCore(nn.Module):
         use_pallas = (cfg.pallas_scan if isinstance(cfg.pallas_scan,
                                                     bool)
                       else jax.default_backend() == 'tpu')
+        L = x.shape[1]
+        if use_pallas and cfg.dt_inkernel and L % cfg.scan_chunk == 0:
+            # dt-lowrank fast path: dt_proj + softplus run inside the
+            # scan kernel, so the (B, L, d_inner) fp32 delta tensor
+            # never exists in HBM. Params registered via a 1-row call
+            # (same tree as the Dense path; the output is unused and
+            # DCE'd).
+            from ddg_tpu.ops.selective_scan_pallas import \
+                selective_scan_pallas_dtlr
+            _ = dt_dense(dt_lr[:, :1])
+            W_dt = dt_dense.variables['params']['kernel']
+            b_dt = dt_dense.variables['params']['bias']
+            return selective_scan_pallas_dtlr(
+                x, dt_lr, W_dt, b_dt, A, B_ssm, C_ssm, D, z,
+                chunk=cfg.scan_chunk, seg=cfg.scan_seg,
+                seg_bwd=cfg.scan_seg_bwd)
+        delta = jax.nn.softplus(dt_dense(dt_lr))
         if use_pallas:
             from ddg_tpu.ops.selective_scan_pallas import \
                 selective_scan_pallas
             return selective_scan_pallas(x, delta, A, B_ssm, C_ssm, D,
-                                         z, chunk=cfg.scan_chunk)
+                                         z, chunk=cfg.scan_chunk,
+                                         seg=cfg.scan_seg,
+                                         seg_bwd=cfg.scan_seg_bwd)
         return selective_scan(x, delta, A, B_ssm, C_ssm, D, z,
                               chunk=cfg.scan_chunk)
 

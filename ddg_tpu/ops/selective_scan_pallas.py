@@ -50,6 +50,29 @@ def _time_row(x, idx: int):
         x.shape[1:])
 
 
+def _shift_fwd(x, s: int):
+    """out[t] = x[t-s] for t >= s; rows t < s are undefined (callers
+    mask them). 32-bit dtypes lower to tpu.dynamic_rotate; Mosaic has
+    no sub-32-bit rotate, so narrower dtypes use a static slice+concat
+    on the (untiled) leading axis instead."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, s, 0)
+    C = x.shape[0]
+    head = jax.lax.slice_in_dim(x, 0, s, axis=0)
+    body = jax.lax.slice_in_dim(x, 0, C - s, axis=0)
+    return jnp.concatenate([head, body], axis=0)
+
+
+def _shift_rev(x, s: int):
+    """out[t] = x[t+s] for t < C-s; rows t >= C-s undefined."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, x.shape[0] - s, 0)
+    C = x.shape[0]
+    body = jax.lax.slice_in_dim(x, s, C, axis=0)
+    tail = jax.lax.slice_in_dim(x, 0, s, axis=0)
+    return jnp.concatenate([body, tail], axis=0)
+
+
 def _hs_scan(a, b, *, reverse: bool = False):
     """Log-depth inclusive affine scan over axis 0 of (C, N, d) pairs.
 
@@ -64,14 +87,14 @@ def _hs_scan(a, b, *, reverse: bool = False):
     s = 1
     while s < C:
         if not reverse:
-            a_sh = pltpu.roll(a, s, 0)      # index t <- t-s
-            b_sh = pltpu.roll(b, s, 0)
+            a_sh = _shift_fwd(a, s)         # index t <- t-s
+            b_sh = _shift_fwd(b, s)
             valid = t_ids >= s
             b = jnp.where(valid, a * b_sh + b, b)
             a = jnp.where(valid, a * a_sh, a)
         else:
-            a_sh = pltpu.roll(a, C - s, 0)  # index t <- t+s (circular)
-            b_sh = pltpu.roll(b, C - s, 0)
+            a_sh = _shift_rev(a, s)         # index t <- t+s
+            b_sh = _shift_rev(b, s)
             valid = t_ids < C - s
             b = jnp.where(valid, b + a * b_sh, b)
             a = jnp.where(valid, a * a_sh, a)
@@ -325,10 +348,10 @@ def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11,
-                                                    12))
+                                                    12, 13))
 def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
              d_tile_bwd=128, interpret=False, seg=8,
-             scan_dtype=jnp.float32):
+             scan_dtype=jnp.float32, seg_bwd=None):
     """y_t = (sum_n C_{t,n} h_{t,n,:} + D u_t) * silu(z_t) with the
     Mamba recurrence — skip connection and gate fused in-kernel.
 
@@ -347,7 +370,7 @@ def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
 
 
 def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, z, Dv, chunk, d_tile,
-                      d_tile_bwd, interpret, seg, scan_dtype):
+                      d_tile_bwd, interpret, seg, scan_dtype, seg_bwd):
     y, h0s = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                        d_tile=d_tile, interpret=interpret, seg=seg,
                        scan_dtype=scan_dtype)
@@ -355,11 +378,12 @@ def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, z, Dv, chunk, d_tile,
 
 
 def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, seg,
-                      scan_dtype, res, g):
+                      scan_dtype, seg_bwd, res, g):
     u, delta, A_log, Bc, Cc, z, Dv, h0s = res
     du, ddt, db, dc, dAlog, dz, dD = _bwd_call(
         u, delta, A_log, Bc, Cc, z, Dv, h0s, g, chunk=chunk,
-        d_tile=d_tile_bwd, interpret=interpret, seg=seg,
+        d_tile=d_tile_bwd, interpret=interpret,
+        seg=seg if seg_bwd is None else seg_bwd,
         scan_dtype=scan_dtype)
     return (du.astype(u.dtype), ddt.astype(delta.dtype),
             dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
@@ -391,7 +415,7 @@ def _pad_time(x, chunk):
 def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
                           d_tile=None, d_tile_bwd=None,
                           interpret=False, seg=8,
-                          scan_dtype=jnp.float32):
+                          scan_dtype=jnp.float32, seg_bwd=None):
     """Drop-in replacement for models/dimamba.py::selective_scan with
     the recurrence in a Pallas kernel. u, delta, z: (B, L, d);
     A: (d, N) (= -exp(A_log)); B, C: (B, L, N); D: (d,).
@@ -419,5 +443,304 @@ def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
     zp = _pad_time(z, chunk)
     y = ssm_scan(up, dtp, A_log, Bp, Cp, zp,
                  D.astype(jnp.float32), chunk, d_tile, d_tile_bwd,
-                 interpret, seg, scan_dtype)
+                 interpret, seg, scan_dtype, seg_bwd)
     return y[:, :L].astype(u.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dt-lowrank variant: the dt_proj (R -> d) matmul + softplus run INSIDE
+# the kernel, so the (B, L, d) fp32 delta tensor never exists in HBM —
+# the kernel reads the low-rank dt (B, L, R) instead (R = d/32 at the
+# Species10 shape). This folds the XLA-side dt_proj/softplus passes and
+# their residuals into the scan (one more step toward the reference's
+# mamba_inner_fn megakernel, /root/reference/models/dimamba.py:176-195).
+# ---------------------------------------------------------------------------
+
+def _delta_from_lr(dtlr, wdt, bdt):
+    pre = jax.lax.dot_general(
+        dtlr, wdt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) + bdt
+    return jax.nn.softplus(pre), pre
+
+
+def _fwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
+                   a_log_ref, z_ref, d_vec_ref, y_ref, h0_out_ref,
+                   h_scr, *, seg, scan_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    h0 = h_scr[...]
+    h0_out_ref[0, 0] = h0
+
+    dtlr = dtlr_ref[0].astype(jnp.float32)            # (C, R)
+    wdt = wdt_ref[...].astype(jnp.float32)            # (R, d)
+    bdt = bdt_ref[...].astype(jnp.float32)            # (1, d)
+    dt, _ = _delta_from_lr(dtlr, wdt, bdt)            # (C, d)
+    u = u_ref[0].astype(jnp.float32)
+    Bc = b_ref[0].astype(jnp.float32)
+    Cc = c_ref[0].astype(jnp.float32)
+    A = -jnp.exp(a_log_ref[...].astype(jnp.float32))
+    z = z_ref[0].astype(jnp.float32)
+    dvec = d_vec_ref[...].astype(jnp.float32)
+
+    a = jnp.exp(dt[:, None, :] * A[None])
+    b = (dt * u)[:, None, :] * Bc[..., None]
+    h_all = _chunk_states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                          b.astype(scan_dtype),
+                          seg=seg).astype(jnp.float32)
+    h_scr[...] = _time_row(h_all, -1)
+    y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
+    y_ref[0] = y_pre * (z * jax.nn.sigmoid(z))
+
+
+def _bwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
+                   a_log_ref, z_ref, d_vec_ref, h0_ref, g_ref,
+                   du_ref, ddtlr_ref, dwdt_ref, dbdt_ref, db_ref,
+                   dc_ref, da_log_ref, dz_ref, dd_vec_ref, carry_scr,
+                   *, seg, scan_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        carry_scr[...] = jnp.zeros_like(carry_scr)
+
+    dtlr = dtlr_ref[0].astype(jnp.float32)            # (C, R)
+    wdt = wdt_ref[...].astype(jnp.float32)            # (R, d)
+    bdt = bdt_ref[...].astype(jnp.float32)            # (1, d)
+    dt, pre = _delta_from_lr(dtlr, wdt, bdt)          # (C, d)
+    u = u_ref[0].astype(jnp.float32)
+    Bc = b_ref[0].astype(jnp.float32)
+    Cc = c_ref[0].astype(jnp.float32)
+    g_gated = g_ref[0].astype(jnp.float32)
+    A = -jnp.exp(a_log_ref[...].astype(jnp.float32))
+    z = z_ref[0].astype(jnp.float32)
+    dvec = d_vec_ref[...].astype(jnp.float32)
+    h0 = h0_ref[0, 0]
+
+    C_len, N_, d_ = dt.shape[0], A.shape[0], A.shape[1]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (C_len, N_, d_), 0)
+
+    a = jnp.exp(dt[:, None, :] * A[None])
+    b = (dt * u)[:, None, :] * Bc[..., None]
+    h_all = _chunk_states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                          b.astype(scan_dtype),
+                          seg=seg).astype(jnp.float32)
+    h_prev = jnp.where(t_ids == 0, h0[None], pltpu.roll(h_all, 1, 0))
+
+    sig = jax.nn.sigmoid(z)
+    sg = z * sig
+    gy = g_gated * sg
+    y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
+    dz_ref[0] = g_gated * y_pre * (sig + sg * (1.0 - sig))
+
+    w = Cc[..., None] * gy[:, None, :]
+    w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
+    a_up = jnp.where(t_ids == C_len - 1, 1.0,
+                     pltpu.roll(a, C_len - 1, 0))
+    dh = _suffix_scan(a_up.astype(scan_dtype), w.astype(scan_dtype),
+                      seg=seg).astype(jnp.float32)
+
+    carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
+
+    da = dh * h_prev
+    dhB = jnp.sum(dh * Bc[..., None], axis=1)
+    ddt = jnp.sum(da * a * A[None], axis=1) + dhB * u  # (C, d)
+    du_ref[0] = dhB * dt + gy * dvec
+    db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2)
+    dc_ref[0, 0] = jnp.sum(h_all * gy[:, None, :], axis=2)
+
+    # dt = softplus(pre), pre = dtlr @ wdt + bdt:
+    # dpre = ddt * sigmoid(pre); ddtlr = dpre @ wdt^T (per-d-tile
+    # partial, summed outside); dwdt = dtlr^T @ dpre and dbdt = sum_t
+    # dpre accumulated over chunks (k innermost => consecutive
+    # revisits, the safe accumulation pattern), summed over B outside.
+    dpre = ddt * jax.nn.sigmoid(pre)                  # (C, d)
+    ddtlr_ref[0, 0] = jax.lax.dot_general(
+        dpre, wdt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (C, R)
+    dwdt = jax.lax.dot_general(
+        dtlr, dpre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (R, d)
+    dbdt = jnp.sum(dpre, axis=0, keepdims=True)       # (1, d)
+
+    dA = jnp.sum(da * a * dt[:, None, :], axis=0)
+    dD = jnp.sum(gy * u, axis=0, keepdims=True)
+
+    @pl.when(k == 0)
+    def _():
+        da_log_ref[0] = jnp.zeros_like(da_log_ref[0])
+        dd_vec_ref[0] = jnp.zeros_like(dd_vec_ref[0])
+        dwdt_ref[0] = jnp.zeros_like(dwdt_ref[0])
+        dbdt_ref[0] = jnp.zeros_like(dbdt_ref[0])
+
+    da_log_ref[0] += dA * A
+    dd_vec_ref[0] += dD
+    dwdt_ref[0] += dwdt
+    dbdt_ref[0] += dbdt
+
+
+def _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, *, chunk,
+                 d_tile, interpret, seg, scan_dtype):
+    B, L, d = u.shape
+    N = A_log.shape[0]
+    R = dtlr.shape[-1]
+    nc = L // chunk
+    u_spec, n_spec, a_spec, h0_spec = _specs(chunk, d_tile, N,
+                                             rev=False, nc=nc)
+    r_spec = pl.BlockSpec((1, chunk, R), lambda bi, di, k: (bi, k, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((R, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((1, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_lr, seg=seg,
+                          scan_dtype=scan_dtype),
+        grid=(B, d // d_tile, nc),
+        in_specs=[u_spec, r_spec, w_spec, d_spec, n_spec, n_spec,
+                  a_spec, u_spec, d_spec],
+        out_specs=(u_spec, h0_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, nc, N, d), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, d_tile), jnp.float32)],
+        interpret=interpret,
+    )(u, dtlr, wdt, bdt.reshape(1, d), Bc, Cc, A_log, z,
+      Dv.reshape(1, d))
+
+
+def _bwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s, g, *,
+                 chunk, d_tile, interpret, seg, scan_dtype):
+    B, L, d = u.shape
+    N = A_log.shape[0]
+    R = dtlr.shape[-1]
+    nc = L // chunk
+    u_spec, n_spec, a_spec, h0_spec = _specs(chunk, d_tile, N,
+                                             rev=True, nc=nc)
+    kmap = lambda k: nc - 1 - k  # noqa: E731
+    r_spec = pl.BlockSpec((1, chunk, R),
+                          lambda bi, di, k: (bi, kmap(k), 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((R, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((1, d_tile), lambda bi, di, k: (0, di),
+                          memory_space=pltpu.VMEM)
+    dA_spec = pl.BlockSpec((1, N, d_tile),
+                           lambda bi, di, k: (bi, 0, di),
+                           memory_space=pltpu.VMEM)
+    dD_spec = pl.BlockSpec((1, 1, d_tile),
+                           lambda bi, di, k: (bi, 0, di),
+                           memory_space=pltpu.VMEM)
+    dW_spec = pl.BlockSpec((1, R, d_tile),
+                           lambda bi, di, k: (bi, 0, di),
+                           memory_space=pltpu.VMEM)
+    n_d = d // d_tile
+    dn_spec = pl.BlockSpec((1, 1, chunk, N),
+                           lambda bi, di, k: (di, bi, kmap(k), 0),
+                           memory_space=pltpu.VMEM)
+    dr_spec = pl.BlockSpec((1, 1, chunk, R),
+                           lambda bi, di, k: (di, bi, kmap(k), 0),
+                           memory_space=pltpu.VMEM)
+    (du, ddtlr, dwdt, dbdt, db, dc, dAlog, dz,
+     dD) = pl.pallas_call(
+        functools.partial(_bwd_kernel_lr, seg=seg,
+                          scan_dtype=scan_dtype),
+        grid=(B, n_d, nc),
+        in_specs=[u_spec, r_spec, w_spec, d_spec, n_spec, n_spec,
+                  a_spec, u_spec, d_spec, h0_spec, u_spec],
+        out_specs=(u_spec, dr_spec, dW_spec, dD_spec, dn_spec,
+                   dn_spec, dA_spec, u_spec, dD_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_d, B, L, R), jnp.float32),
+                   jax.ShapeDtypeStruct((B, R, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n_d, B, L, N), jnp.float32),
+                   jax.ShapeDtypeStruct((n_d, B, L, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, L, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, d), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, d_tile), jnp.float32)],
+        interpret=interpret,
+    )(u, dtlr, wdt, bdt.reshape(1, d), Bc, Cc, A_log, z,
+      Dv.reshape(1, d), h0s, g)
+    return (du, ddtlr.sum(axis=0), dwdt.sum(axis=0),
+            dbdt.sum(axis=0).reshape(d), db.sum(axis=0),
+            dc.sum(axis=0), dAlog.sum(axis=0), dz,
+            dD.sum(axis=0).reshape(d))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13,
+                                                    14, 15))
+def ssm_scan_dtlr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, chunk=128,
+                  d_tile=256, d_tile_bwd=128, interpret=False, seg=8,
+                  scan_dtype=jnp.float32, seg_bwd=None):
+    """ssm_scan with delta = softplus(dtlr @ wdt + bdt) computed
+    in-kernel. dtlr: (B, L, R); wdt: (R, d); bdt: (d,); the rest as
+    ssm_scan. Requires L % chunk == 0 (a padded tail would carry
+    softplus(bdt) > 0 into the recurrence; the plain path pads with
+    delta = 0)."""
+    y, _ = _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv,
+                        chunk=chunk, d_tile=d_tile,
+                        interpret=interpret, seg=seg,
+                        scan_dtype=scan_dtype)
+    return y
+
+
+def _ssm_scan_dtlr_fwd(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, chunk,
+                       d_tile, d_tile_bwd, interpret, seg, scan_dtype,
+                       seg_bwd):
+    y, h0s = _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv,
+                          chunk=chunk, d_tile=d_tile,
+                          interpret=interpret, seg=seg,
+                          scan_dtype=scan_dtype)
+    return y, (u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s)
+
+
+def _ssm_scan_dtlr_bwd(chunk, d_tile, d_tile_bwd, interpret, seg,
+                       scan_dtype, seg_bwd, res, g):
+    u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s = res
+    (du, ddtlr, dwdt, dbdt, db, dc, dAlog, dz, dD) = _bwd_call_lr(
+        u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s, g, chunk=chunk,
+        d_tile=d_tile_bwd, interpret=interpret,
+        seg=seg if seg_bwd is None else seg_bwd,
+        scan_dtype=scan_dtype)
+    return (du.astype(u.dtype), ddtlr.astype(dtlr.dtype),
+            dwdt.astype(wdt.dtype), dbdt.astype(bdt.dtype),
+            dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
+            dc.astype(Cc.dtype), dz.astype(z.dtype),
+            dD.astype(Dv.dtype))
+
+
+ssm_scan_dtlr.defvjp(_ssm_scan_dtlr_fwd, _ssm_scan_dtlr_bwd)
+
+
+def selective_scan_pallas_dtlr(u, dt_lr, W_dt, b_dt, A, B, C, D, z, *,
+                               chunk=128, d_tile=None, d_tile_bwd=None,
+                               interpret=False, seg=8,
+                               scan_dtype=jnp.float32, seg_bwd=None):
+    """selective_scan with the dt_proj + softplus fused in-kernel.
+
+    dt_lr: (B, L, R) low-rank dt (the x_proj output slice, BEFORE
+    dt_proj); W_dt: (R, d_inner); b_dt: (d_inner,). Other args as
+    selective_scan_pallas. Requires L % chunk == 0."""
+    Bsz, L, d = u.shape
+    if L % chunk:
+        raise ValueError(
+            f'dt-lowrank path requires chunk | L (got L={L}, '
+            f'chunk={chunk}); use selective_scan_pallas instead')
+    if d_tile is None:
+        d_tile = _divisor_tile(d, 256)
+    if d_tile_bwd is None:
+        d_tile_bwd = _divisor_tile(d, 128)
+    A_log = jnp.log(-A.astype(jnp.float32)).T
+    y = ssm_scan_dtlr(u, dt_lr.astype(jnp.float32),
+                      W_dt.astype(jnp.float32),
+                      b_dt.astype(jnp.float32), A_log, B, C, z,
+                      D.astype(jnp.float32), chunk, d_tile, d_tile_bwd,
+                      interpret, seg, scan_dtype, seg_bwd)
+    return y.astype(u.dtype)

@@ -42,6 +42,8 @@ def main():
     p.add_argument('--hidden', type=int, default=256)
     p.add_argument('--blocks', type=int, default=8)
     p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--dt_inkernel', type=int, default=0)
+    p.add_argument('--seg_bwd', type=int, default=4)
     args = p.parse_args()
 
     from ddg_tpu.diffusion import DiffusionSpec, loss_fn
@@ -69,16 +71,18 @@ def main():
     z = jax.random.normal(ks[6], (B, L, d), jnp.float32)
 
     # Amortize the ~30 ms per-dispatch overhead of the remote runtime:
-    # run K kernel invocations inside ONE jitted lax.scan (inputs
-    # perturbed per iteration so XLA cannot CSE them away) and divide.
-    K = 8
+    # chain K kernel invocations inside ONE jitted program (each
+    # iteration's input perturbed by the previous result so XLA cannot
+    # CSE them) and divide. Unrolled python loop — a lax.scan over the
+    # pallas_call hit a TPU FailedPrecondition on chip.
+    K = 4
 
     @jax.jit
     def scan_fwd(u, delta, A_log, Bc, Cc, z, Dv):
-        def body(acc, i):
+        acc = 0.0
+        for _ in range(K):
             y = ssm_scan(u + acc * 1e-20, delta, A_log, Bc, Cc, z, Dv)
-            return jnp.sum(y[0, 0]), None
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
+            acc = jnp.sum(y[0, 0])
         return acc
 
     @jax.jit
@@ -86,11 +90,11 @@ def main():
         def loss(*a):
             return jnp.sum(ssm_scan(*a))
 
-        def body(acc, i):
+        acc = 0.0
+        for _ in range(K):
             g = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))(
                 u + acc * 1e-20, delta, A_log, Bc, Cc, z, Dv)[0]
-            return jnp.sum(g[0, 0]), None
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(K))
+            acc = jnp.sum(g[0, 0])
         return acc
 
     t_fwd = _timeit(scan_fwd, u, delta, A_log, Bc, Cc, z, Dv,
@@ -105,7 +109,9 @@ def main():
 
     # --- full model ---
     cfg = DiMambaConfig(hidden_size=args.hidden, n_blocks=args.blocks,
-                        length=L, vocab_size=16, num_classes=10)
+                        length=L, vocab_size=16, num_classes=10,
+                        dt_inkernel=bool(args.dt_inkernel),
+                        scan_seg_bwd=args.seg_bwd)
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs',
                          noise=LogLinearNoise(),

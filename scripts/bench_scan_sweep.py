@@ -29,7 +29,7 @@ Cc = jax.random.normal(ks[4], (B, L, N))
 D = jax.random.normal(ks[5], (d,))
 z = jax.random.normal(ks[6], (B, L, d))
 
-K = 8  # amortize the ~30 ms per-dispatch overhead inside one program
+K = 4  # amortize the ~30 ms per-dispatch overhead inside one program
 ref = None
 for seg, dt in [(8, jnp.float32), (4, jnp.float32), (16, jnp.float32),
                 (8, jnp.bfloat16), (16, jnp.bfloat16)]:
@@ -38,19 +38,21 @@ for seg, dt in [(8, jnp.float32), (4, jnp.float32), (16, jnp.float32),
 
     @jax.jit
     def fwdK(u, delta, A, Bc, Cc, D, z, one=one):
-        def body(acc, i):
+        acc = 0.0
+        for _ in range(K):
             y = one(u + acc * 1e-20, delta, A, Bc, Cc, D, z)
-            return jnp.sum(y[0, 0]), None
-        return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
+            acc = jnp.sum(y[0, 0])
+        return acc
 
     @jax.jit
     def fbK(u, delta, A, Bc, Cc, D, z, one=one):
         loss = lambda *b: jnp.sum(one(*b))
-        def body(acc, i):
+        acc = 0.0
+        for _ in range(K):
             g = jax.grad(loss, argnums=(0, 1, 3, 4, 6))(
                 u + acc * 1e-20, delta, A, Bc, Cc, D, z)[0]
-            return jnp.sum(g[0, 0]), None
-        return jax.lax.scan(body, 0.0, jnp.arange(K))[0]
+            acc = jnp.sum(g[0, 0])
+        return acc
 
     y = jax.jit(one)(u, delta, A, Bc, Cc, D, z)
     if ref is None:

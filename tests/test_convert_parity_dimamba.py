@@ -149,12 +149,13 @@ def test_converted_dimamba_matches_pallas_scan_path():
     sigma_np = rng.rand(B).astype(np.float32) * 3
     params = convert_dimamba_params(state, n_blocks=1)
 
-    def run(pallas):
+    def run(pallas, dt_inkernel=False):
         cfg = DiMambaConfig(hidden_size=HIDDEN, cond_dim=COND,
                             length=L, n_blocks=1, vocab_size=VOCAB,
                             d_state=D_STATE, d_conv=D_CONV,
                             expand=EXPAND, scan_chunk=8, dropout=0.0,
                             remat=False, pallas_scan=pallas,
+                            dt_inkernel=dt_inkernel,
                             compute_dtype=jnp.float32)
         return DiMamba(cfg).apply(
             {'params': jax.tree.map(jnp.asarray, params)},
@@ -162,12 +163,19 @@ def test_converted_dimamba_matches_pallas_scan_path():
 
     import ddg_tpu.ops.selective_scan_pallas as sp
     orig = sp.selective_scan_pallas
+    orig_lr = sp.selective_scan_pallas_dtlr
     import functools
     sp.selective_scan_pallas = functools.partial(orig, interpret=True)
+    sp.selective_scan_pallas_dtlr = functools.partial(
+        orig_lr, interpret=True)
     try:
         got_pl = run(True)
+        got_lr = run(True, dt_inkernel=True)
     finally:
         sp.selective_scan_pallas = orig
+        sp.selective_scan_pallas_dtlr = orig_lr
     got_xla = run(False)
     np.testing.assert_allclose(np.asarray(got_pl), np.asarray(got_xla),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(got_xla),
                                atol=2e-4, rtol=2e-4)

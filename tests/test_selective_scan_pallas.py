@@ -95,3 +95,95 @@ def test_forward_bf16_inputs():
     np.testing.assert_allclose(y_pl.astype(jnp.float32),
                                y_xla.astype(jnp.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_scan_dtype_close():
+    """scan_dtype=bfloat16 runs the in-kernel affine scan at half VPU
+    width via the slice+concat shift path (Mosaic has no sub-32-bit
+    rotate); values stay within bf16 rounding of the fp32 kernel."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=6)
+    y32 = _pallas(u, delta, A, Bc, Cc, Dp, z)
+    y16 = functools.partial(
+        selective_scan_pallas, chunk=CHUNK, d_tile=8, d_tile_bwd=8,
+        interpret=True, scan_dtype=jnp.bfloat16)(
+            u, delta, A, Bc, Cc, Dp, z)
+    np.testing.assert_allclose(y16, y32, rtol=3e-2, atol=3e-2)
+
+
+def test_seg_bwd_gradients_match():
+    """A backward-pass segment length different from the forward's
+    (the measured-fastest v5e config: seg=8 fwd / seg=4 bwd) changes
+    only the in-kernel scan schedule, not the values."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=4)
+    w = jax.random.normal(jax.random.PRNGKey(7), (B, L, D))
+    args = (u, delta, A, Bc, Cc, Dp, z)
+
+    def loss(fn, *a):
+        return (fn(*a) * w).sum()
+
+    mixed = functools.partial(selective_scan_pallas, chunk=CHUNK,
+                              d_tile=8, d_tile_bwd=8, interpret=True,
+                              seg=8, seg_bwd=4)
+    g_mixed = jax.grad(functools.partial(loss, mixed),
+                       argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(functools.partial(loss, _pallas),
+                     argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(['u', 'delta', 'A', 'B', 'C', 'D', 'z'],
+                          g_mixed, g_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=f'grad mismatch: {name}')
+
+
+def test_dt_lowrank_matches_composite():
+    """dt-lowrank kernel (dt_proj + softplus in-kernel,
+    selective_scan_pallas_dtlr) == softplus(dtlr @ W + b) fed to the
+    plain kernel — forward exactly, all nine grads to ~1e-6."""
+    from ddg_tpu.ops.selective_scan_pallas import \
+        selective_scan_pallas_dtlr
+
+    R = 4
+    L_al = 32  # dtlr path requires chunk | L
+    ks = jax.random.split(jax.random.PRNGKey(5), 9)
+    u = jax.random.normal(ks[0], (B, L_al, D))
+    dtlr = jax.random.normal(ks[1], (B, L_al, R)) * 0.5
+    Wdt = jax.random.normal(ks[2], (R, D)) * 0.3
+    bdt = jax.random.normal(ks[3], (D,)) - 1.0
+    A = -jnp.exp(jax.random.normal(ks[4], (D, N)) * 0.5)
+    Bc = jax.random.normal(ks[5], (B, L_al, N))
+    Cc = jax.random.normal(ks[6], (B, L_al, N))
+    Dp = jax.random.normal(ks[7], (D,))
+    z = jax.random.normal(ks[8], (B, L_al, D))
+
+    lr = functools.partial(selective_scan_pallas_dtlr, chunk=CHUNK,
+                           d_tile=8, d_tile_bwd=8, interpret=True)
+
+    def composite(u, dtlr, Wdt, bdt, A, Bc, Cc, Dp, z):
+        delta = jax.nn.softplus(dtlr @ Wdt + bdt)
+        return _pallas(u, delta, A, Bc, Cc, Dp, z)
+
+    args = (u, dtlr, Wdt, bdt, A, Bc, Cc, Dp, z)
+    np.testing.assert_allclose(lr(*args), composite(*args), atol=1e-6)
+
+    w = jax.random.normal(jax.random.PRNGKey(6), (B, L_al, D))
+    g_lr = jax.grad(lambda *a: (lr(*a) * w).sum(),
+                    argnums=tuple(range(9)))(*args)
+    g_ref = jax.grad(lambda *a: (composite(*a) * w).sum(),
+                     argnums=tuple(range(9)))(*args)
+    names = ['u', 'dtlr', 'Wdt', 'bdt', 'A', 'B', 'C', 'D', 'z']
+    for name, a, b in zip(names, g_lr, g_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=f'grad mismatch: {name}')
+
+
+def test_dt_lowrank_rejects_unaligned_length():
+    from ddg_tpu.ops.selective_scan_pallas import \
+        selective_scan_pallas_dtlr
+
+    import pytest
+    with pytest.raises(ValueError, match='chunk'):
+        selective_scan_pallas_dtlr(
+            jnp.zeros((1, 17, D)), jnp.zeros((1, 17, 4)),
+            jnp.zeros((4, D)), jnp.zeros((D,)),
+            -jnp.ones((D, N)), jnp.zeros((1, 17, N)),
+            jnp.zeros((1, 17, N)), jnp.zeros((D,)),
+            jnp.zeros((1, 17, D)), chunk=CHUNK, interpret=True)
