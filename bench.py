@@ -74,8 +74,10 @@ def dit_head_flops(B, L, D, V):
 
 def dimamba_train_flops(B, L, D, n_blocks, d_state, *,
                         bidirectional=True, dt_rank=None):
-    """DiMamba fwd matmul+scan FLOPs x3 for fwd+bwd (remat recompute is
-    real work and is counted by the x3 like everywhere else). Per block
+    """DiMamba fwd matmul+scan FLOPs x3 for fwd+bwd (the standard
+    fwd + 2x-bwd accounting; block remat is off by default — the scan
+    kernel's in-kernel h recompute is part of its measured cost, not
+    extra model FLOPs). Per block
     per direction: in_proj D->2*d_in (8BLD^2 at d_in=2D), x_proj
     (2BL*d_in*(dt_rank+2N)), dt_proj (2BL*dt_rank*d_in), out_proj
     (4BLD^2), conv (8BL*d_in), scan ~6 flops per (l, d_in, N) cell."""
@@ -261,6 +263,7 @@ def bench_train_text8(args):
                         n_blocks=12, n_heads=12, dropout=0.1,
                         vocab_size=35)
         B = args.batch or 256
+    accum = max(1, getattr(args, 'accum', 1))
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
                          vocab_size=cfg.vocab_size,
@@ -273,10 +276,17 @@ def bench_train_text8(args):
     optim = OptimSpec(lr=3e-4, num_warmup_steps=2500)
     avg = AveragingSpec.ema(0.9999)
     state = init_train_state(rng, params, optim, avg)
-    step = jax.jit(make_train_step(spec, apply_fn, optim, avg),
+    step = jax.jit(make_train_step(spec, apply_fn, optim, avg,
+                                   accum_steps=accum),
                    donate_argnums=(0,))
     batch = {'input_ids': x,
              'attention_mask': jnp.ones((B, cfg.length), jnp.float32)}
+    if accum > 1:
+        # global batch B as (accum, micro, L): B=512 single-shot OOMs
+        # the 16G HBM (compile-measured 20.5G); the in-step lax.scan
+        # accumulation runs the same global batch in micro-chunks.
+        batch = jax.tree.map(
+            lambda a: a.reshape(accum, B // accum, *a.shape[1:]), batch)
 
     # fwd+bwd ~ 3x the forward matmul FLOPs
     flops = 3 * (dit_trunk_flops(B, cfg.length, cfg.hidden_size,
@@ -298,7 +308,8 @@ def bench_train_text8(args):
     baseline = A100_EFFECTIVE_FLOPS / (flops / (B * cfg.length))
     return _emit(
         f'text8 train tokens/sec/chip (DiT-small, L={cfg.length}, '
-        f'B={B})', tok_s, 'tokens/sec/chip', tok_s / baseline,
+        f'B={B}' + (f', accum={accum}' if accum > 1 else '') + ')',
+        tok_s, 'tokens/sec/chip', tok_s / baseline,
         _mfu(flops / n_chips, dt))
 
 
@@ -446,6 +457,10 @@ def bench_unet(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch', type=int, default=None)
+    p.add_argument('--accum', type=int, default=1,
+                   help='grad-accumulation micro-steps for --train '
+                        '(global batch --batch split into this many '
+                        'in-step lax.scan micro-batches)')
     p.add_argument('--steps', type=int, default=1000)
     p.add_argument('--quick', action='store_true',
                    help='tiny models for CPU smoke runs')

@@ -183,6 +183,7 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             scan_chunk=int(mc.get('scan_chunk', 128)),
             pallas_scan=mc.get('pallas_scan', 'auto'),
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
+            remat=bool(mc.get('remat', False)),
             scan_seg=int(mc.get('scan_seg', 8)),
             scan_seg_bwd=int(mc.get('scan_seg_bwd', 4)),
             dropout=float(mc.get('dropout', 0.1)),
@@ -255,6 +256,7 @@ def build_classifier_model(config: Config, spec):
             scan_chunk=int(mc.get('scan_chunk', 128)),
             pallas_scan=mc.get('pallas_scan', 'auto'),
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
+            remat=bool(mc.get('remat', False)),
             scan_seg=int(mc.get('scan_seg', 8)),
             scan_seg_bwd=int(mc.get('scan_seg_bwd', 4)),
             dropout=float(mc.get('dropout', 0.1)),
@@ -263,6 +265,35 @@ def build_classifier_model(config: Config, spec):
                            else jnp.float32))
         model = DiMambaClassifier(cfg, num_classes=num_classes,
                                   pooling=pooling)
+        return model, cfg, make_classifier_apply(model)
+    if backbone == 'hyenadna':
+        # reference classifier.py:166-178: HF remote-code HyenaDNA as
+        # the (clean-data) Species10 eval classifier — ours is the
+        # native flax implementation, models/hyenadna.py.
+        from ddg_tpu.models.hyenadna import (HyenaDNAClassifier,
+                                             HyenaDNAConfig)
+        cfg = HyenaDNAConfig(
+            d_model=int(mc.get('d_model', mc.get('hidden_size', 256))),
+            n_layer=int(mc.get('n_layer', 4)),
+            d_inner=int(mc.get('d_inner',
+                               4 * int(mc.get('d_model',
+                                              mc.get('hidden_size',
+                                                     256))))),
+            vocab_size=spec.vocab_size,
+            max_seq_len=int(mc.get('max_seq_len',
+                                   2 * int(mc.length) + 2)),
+            emb_dim=int(mc.get('emb_dim', 5)),
+            filter_order=int(mc.get('filter_order', 64)),
+            num_inner_mlps=int(mc.get('num_inner_mlps', 2)),
+            embed_dropout=float(mc.get('embed_dropout', 0.1)),
+            hyena_dropout=float(mc.get('hyena_dropout', 0.0)),
+            compute_dtype=(jnp.bfloat16
+                           if str(config.trainer.precision) == 'bf16'
+                           else jnp.float32))
+        model = HyenaDNAClassifier(
+            cfg, num_classes=num_classes,
+            pooling=mc.get('pooling', 'last') if not is_fudge
+            else 'no_pooling')
         return model, cfg, make_classifier_apply(model)
     raise NotImplementedError(
         f'Classifier backbone {backbone} not implemented.')

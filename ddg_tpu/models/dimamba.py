@@ -74,12 +74,15 @@ class DiMambaConfig:
     scan_seg: int = 8
     scan_seg_bwd: int = 4
     dropout: float = 0.1
-    # Rematerialize each block in the backward pass: the selective scan
-    # stores h (B, L, d_inner, N) per direction, which at L=32768 is
-    # ~1 GB/layer/direction — without remat 8 bidirectional blocks
-    # exceed HBM during training (the reference's CUDA kernel
-    # recomputes in backward for the same reason).
-    remat: bool = True
+    # Rematerialize each block in the backward pass. Needed on the XLA
+    # scan path, where autodiff stores h (B, L, d_inner, N) per
+    # direction (~1 GB/layer/direction at L=32768). The Pallas kernel's
+    # custom VJP already recomputes h in-kernel from inputs + per-chunk
+    # states (like the reference's CUDA mamba_inner), so block remat
+    # double-pays the projections there: measured 400.8 -> 324.0 ms
+    # per Species10 train step when turned off. Default off; enable for
+    # the XLA path or when activations exceed HBM.
+    remat: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property

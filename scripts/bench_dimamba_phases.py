@@ -44,6 +44,7 @@ def main():
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--dt_inkernel', type=int, default=0)
     p.add_argument('--seg_bwd', type=int, default=4)
+    p.add_argument('--remat', type=int, default=1)
     args = p.parse_args()
 
     from ddg_tpu.diffusion import DiffusionSpec, loss_fn
@@ -111,7 +112,8 @@ def main():
     cfg = DiMambaConfig(hidden_size=args.hidden, n_blocks=args.blocks,
                         length=L, vocab_size=16, num_classes=10,
                         dt_inkernel=bool(args.dt_inkernel),
-                        scan_seg_bwd=args.seg_bwd)
+                        scan_seg_bwd=args.seg_bwd,
+                        remat=bool(args.remat))
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs',
                          noise=LogLinearNoise(),
