@@ -547,3 +547,175 @@ def torch_mirror_dit_forward(state: Dict, x_np, sigma_np, cond_np=None,
     out = h @ s['output_layer.linear.weight'].T \
         + s['output_layer.linear.bias']
     return out.detach().numpy()
+
+
+# ---------------------------------------------------------------------
+# HyenaDNA (LongSafari hub layout; reference loads this as HF remote
+# code — classifier.py:166-178, ten_species_eval.py:468-478)
+# ---------------------------------------------------------------------
+
+def make_reference_hyenadna_state_dict(
+        rng: 'np.random.RandomState', *, d_model: int, n_layer: int,
+        d_inner: int, vocab: int = 12, emb_dim: int = 5,
+        filter_order: int = 16, num_inner_mlps: int = 2,
+        short_filter_order: int = 3, num_labels: int = 2,
+        activation_freq: float = 10.0,
+        pad_vocab_size_multiple: int = 8) -> Dict:
+    """Synthetic state dict in the HF HyenaDNAForSequenceClassification
+    layout (LongSafari/hyenadna-*-hf remote code), for offline
+    converter/parity tests; flips to real weights with no code change
+    (scripts/fetch_and_verify_parity.sh)."""
+    m = pad_vocab_size_multiple
+    padded_vocab = ((vocab + m - 1) // m) * m
+    d_filter = d_model  # order 2: d_model * (order - 1)
+    r = lambda *shape: rng.randn(*shape).astype(np.float32) * 0.05
+    s: Dict = {}
+    bb = 'hyena.backbone.'
+    s[bb + 'embeddings.word_embeddings.weight'] = r(padded_vocab,
+                                                    d_model)
+    for i in range(n_layer):
+        p = bb + f'layers.{i}.'
+        s[p + 'norm1.weight'] = r(d_model) + 1
+        s[p + 'norm1.bias'] = r(d_model)
+        s[p + 'norm2.weight'] = r(d_model) + 1
+        s[p + 'norm2.bias'] = r(d_model)
+        mx = p + 'mixer.'
+        inner = 3 * d_model
+        s[mx + 'in_proj.weight'] = r(inner, d_model)
+        s[mx + 'in_proj.bias'] = r(inner)
+        s[mx + 'short_filter.weight'] = r(inner, 1, short_filter_order)
+        s[mx + 'short_filter.bias'] = r(inner)
+        s[mx + 'out_proj.weight'] = r(d_model, d_model)
+        s[mx + 'out_proj.bias'] = r(d_model)
+        ff = mx + 'filter_fn.'
+        s[ff + 'bias'] = rng.randn(d_filter).astype(np.float32)
+        s[ff + 'implicit_filter.0.weight'] = r(filter_order, emb_dim)
+        s[ff + 'implicit_filter.0.bias'] = r(filter_order)
+        for j in range(num_inner_mlps):
+            s[ff + f'implicit_filter.{2 + 2 * j}.weight'] = r(
+                filter_order, filter_order)
+            s[ff + f'implicit_filter.{2 + 2 * j}.bias'] = r(
+                filter_order)
+        for j in range(num_inner_mlps + 1):
+            s[ff + f'implicit_filter.{1 + 2 * j}.freq'] = np.full(
+                (1, filter_order), activation_freq, np.float32)
+        s[ff + f'implicit_filter.{2 * num_inner_mlps + 2}.weight'] = \
+            r(d_filter, filter_order)
+        s[p + 'mlp.fc1.weight'] = r(d_inner, d_model)
+        s[p + 'mlp.fc1.bias'] = r(d_inner)
+        s[p + 'mlp.fc2.weight'] = r(d_model, d_inner)
+        s[p + 'mlp.fc2.bias'] = r(d_model)
+    s[bb + 'ln_f.weight'] = r(d_model) + 1
+    s[bb + 'ln_f.bias'] = r(d_model)
+    s['score.weight'] = r(num_labels, d_model)
+    return s
+
+
+def convert_hyenadna_params(state: Dict, *, n_layer: int,
+                            num_inner_mlps: int = 2) -> Dict:
+    """HF HyenaDNA state dict -> ddg_tpu HyenaDNAClassifier params.
+    Buffers (pos_emb.z/t, modulation.deltas) are deterministic and
+    recomputed by the flax module, so they are ignored here."""
+    s = {re.sub(r'^(hyena\.|model\.|hyenadna\.)', '', k): v
+         for k, v in state.items()}
+
+    def T(x):
+        return np.ascontiguousarray(x.T)
+
+    def dense(w, b=None):
+        out = {'kernel': T(w)}
+        if b is not None:
+            out['bias'] = b
+        return out
+
+    backbone: Dict = {
+        'word_embeddings': {
+            'embedding': s['backbone.embeddings.word_embeddings'
+                           '.weight']},
+        'ln_f': {'scale': s['backbone.ln_f.weight'],
+                 'bias': s['backbone.ln_f.bias']},
+    }
+    for i in range(n_layer):
+        p = f'backbone.layers.{i}.'
+        mx = p + 'mixer.'
+        ff = mx + 'filter_fn.'
+        filt: Dict = {
+            'mlp_in': dense(s[ff + 'implicit_filter.0.weight'],
+                            s[ff + 'implicit_filter.0.bias']),
+            'mlp_out': dense(
+                s[ff + f'implicit_filter.{2 * num_inner_mlps + 2}'
+                       '.weight']),
+        }
+        for j in range(num_inner_mlps):
+            filt[f'mlp_{j}'] = dense(
+                s[ff + f'implicit_filter.{2 + 2 * j}.weight'],
+                s[ff + f'implicit_filter.{2 + 2 * j}.bias'])
+        for j in range(num_inner_mlps + 1):
+            filt[f'freq_{j}'] = s[ff +
+                                  f'implicit_filter.{1 + 2 * j}.freq']
+        d_filter = s[ff + 'bias'].shape[0]
+        backbone[f'layer_{i}'] = {
+            'norm1': {'scale': s[p + 'norm1.weight'],
+                      'bias': s[p + 'norm1.bias']},
+            'norm2': {'scale': s[p + 'norm2.weight'],
+                      'bias': s[p + 'norm2.bias']},
+            'mixer': {
+                'in_proj': dense(s[mx + 'in_proj.weight'],
+                                 s[mx + 'in_proj.bias']),
+                # torch Conv1d (C, 1, ks) -> lax HIO (ks, 1, C)
+                'short_filter_kernel': np.ascontiguousarray(
+                    s[mx + 'short_filter.weight'].transpose(2, 1, 0)),
+                'short_filter_bias': s[mx + 'short_filter.bias'],
+                'filter': filt,
+                'filter_bias': s[ff + 'bias'].reshape(1, d_filter),
+                'out_proj': dense(s[mx + 'out_proj.weight'],
+                                  s[mx + 'out_proj.bias']),
+            },
+            'mlp_fc1': dense(s[p + 'mlp.fc1.weight'],
+                             s[p + 'mlp.fc1.bias']),
+            'mlp_fc2': dense(s[p + 'mlp.fc2.weight'],
+                             s[p + 'mlp.fc2.bias']),
+        }
+    params: Dict = {'backbone': backbone}
+    if 'score.weight' in s:
+        params['score'] = {'kernel': T(s['score.weight'])}
+    if 'lm_head.weight' in s:
+        params['lm_head'] = {'kernel': T(s['lm_head.weight'])}
+    return params
+
+
+def import_hf_hyenadna(model_dir: str):
+    """(config, params) from a local LongSafari-layout checkpoint dir:
+    reads config.json into HyenaDNAConfig and converts the weights.
+    The asset on-ramp (scripts/fetch_and_verify_parity.sh) points this
+    at real hub snapshots the day they appear."""
+    import json
+    import os
+
+    from ddg_tpu.models.hyenadna import HyenaDNAConfig
+    with open(os.path.join(model_dir, 'config.json')) as f:
+        hc = json.load(f)
+    cfg = HyenaDNAConfig(
+        d_model=int(hc.get('d_model', 256)),
+        n_layer=int(hc.get('n_layer', 4)),
+        d_inner=int(hc.get('d_inner') or 4 * int(hc.get('d_model',
+                                                        256))),
+        vocab_size=int(hc.get('vocab_size', 12)),
+        pad_vocab_size_multiple=int(
+            hc.get('pad_vocab_size_multiple', 8)),
+        max_seq_len=int(hc.get('max_seq_len', 32770)),
+        emb_dim=int(hc.get('emb_dim', 5)),
+        filter_order=int(hc.get('filter_order', 64)),
+        short_filter_order=int(hc.get('short_filter_order', 3)),
+        hyena_order=int(hc.get('hyena_order', 2)),
+        num_inner_mlps=int(hc.get('num_inner_mlps', 2)),
+        activation_freq=float(hc.get('activation_freq', 10.0)),
+        train_freq=bool(hc.get('train_freq', True)),
+        embed_dropout=float(hc.get('embed_dropout', 0.1)),
+        hyena_dropout=float(hc.get('hyena_dropout', 0.0)),
+        layer_norm_epsilon=float(hc.get('layer_norm_epsilon', 1e-5)))
+    state = load_hf_udlm_state_dict(model_dir)  # same file layout
+    params = convert_hyenadna_params(
+        state, n_layer=cfg.n_layer,
+        num_inner_mlps=cfg.num_inner_mlps)
+    return cfg, params

@@ -222,10 +222,17 @@ def _write_results(path: str, results: List[Dict]) -> None:
 def train_eval_discriminator(real_texts, fake_texts, tokenizer, *,
                              length: int, vocab_size: int,
                              steps: int = 200, seed: int = 0,
-                             hidden: int = 64, n_blocks: int = 2):
+                             hidden: int = 64, n_blocks: int = 2,
+                             backbone: str = 'hyenadna'):
     """Train a fresh real-vs-generated discriminator and return a
     scoring callable (reference ten_species_eval.py:408-523 trains a
     new discriminator per eval and reports AUROC).
+
+    backbone='hyenadna' (default) matches the reference protocol — it
+    builds the HyenaDNA architecture `from_config(pretrained=False)`
+    (ten_species_eval.py:468-478), which our native
+    models/hyenadna.py reproduces with no HF assets; 'dit' keeps the
+    round-2 substitute.
 
     Returns score_fn(texts) -> real-logit scores (higher = more real).
     """
@@ -251,11 +258,21 @@ def train_eval_discriminator(real_texts, fake_texts, tokenizer, *,
     x = np.concatenate([encode(real_texts), encode(fake_texts)])
     y = np.concatenate([np.ones(len(real_texts), np.int32),
                         np.zeros(len(fake_texts), np.int32)])
-    cfg = DITConfig(hidden_size=hidden, cond_dim=32, length=length,
-                    n_blocks=n_blocks, n_heads=4, dropout=0.0,
-                    vocab_size=vocab_size,
-                    compute_dtype=jnp.float32)
-    clf = DITClassifier(cfg, num_classes=2)
+    if backbone == 'hyenadna':
+        from ddg_tpu.models.hyenadna import (HyenaDNAClassifier,
+                                             HyenaDNAConfig)
+        hcfg = HyenaDNAConfig(
+            d_model=hidden, n_layer=n_blocks, d_inner=4 * hidden,
+            vocab_size=vocab_size, max_seq_len=2 * length + 2,
+            filter_order=min(64, 4 * hidden), embed_dropout=0.0,
+            compute_dtype=jnp.float32)
+        clf = HyenaDNAClassifier(hcfg, num_classes=2, pooling='last')
+    else:
+        cfg = DITConfig(hidden_size=hidden, cond_dim=32, length=length,
+                        n_blocks=n_blocks, n_heads=4, dropout=0.0,
+                        vocab_size=vocab_size,
+                        compute_dtype=jnp.float32)
+        clf = DITClassifier(cfg, num_classes=2)
     key = jax.random.PRNGKey(seed)
     params = clf.init(key, jnp.asarray(x[:1]), jnp.ones((1,)))['params']
     apply_fn = make_classifier_apply(clf)

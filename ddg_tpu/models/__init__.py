@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 
 from ddg_tpu.models.dit import DIT, DITClassifier, DITConfig  # noqa: F401
+from ddg_tpu.models.hyenadna import (HyenaDNAClassifier,  # noqa: F401
+                                     HyenaDNAConfig)
 
 
 def _dropout_rng(rng):

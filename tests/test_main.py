@@ -192,6 +192,34 @@ class TestClassifierE2E:
         assert int(state.step) == 4
         assert os.path.isdir(f'{tmp_path}/clf/classifier_checkpoints/last')
 
+    def test_train_eval_classifier_hyenadna(self, tmp_path):
+        """Species10 eval-classifier protocol backbone (reference
+        classifier.py:166-178 builds HyenaDNA from_config with
+        pretrained=False; ours is the native flax implementation)."""
+        config = load_config(CONFIG_DIR, overrides=[
+            'mode=train_classifier', '+is_eval_classifier=True',
+            'data=ten_species', 'backbone=dimamba', 'model=dimamba',
+            'model.length=32',
+            'classifier_backbone=hyenadna',
+            'classifier_model=hyenadna-classifier',
+            'classifier_model.d_model=16',
+            'classifier_model.n_layer=2',
+            'classifier_model.d_inner=64',
+            'classifier_model.filter_order=8',
+            'classifier_model.length=32',
+            'classifier_model.max_seq_len=66',
+            'trainer.precision=fp32',
+            'trainer.max_steps=3', 'trainer.log_every_n_steps=2',
+            'loader.global_batch_size=4', 'loader.batch_size=4',
+            'trainer.devices=1',
+            f'data.cache_dir={tmp_path}/data', '+data.synthetic=true',
+            f'checkpointing.save_dir={tmp_path}/judge',
+        ])
+        state = M.train_classifier(config)
+        assert int(state.step) == 3
+        assert os.path.isdir(
+            f'{tmp_path}/judge/classifier_checkpoints/last')
+
 
 class TestGuidedSamplingCLI:
     """Classifier-guided sampling reachable from the config surface
