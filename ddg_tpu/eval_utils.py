@@ -78,6 +78,37 @@ def strip_special_and_decode(tokenizer, samples: np.ndarray) -> List[str]:
     return tokenizer.batch_decode(samples, skip_special_tokens=True)
 
 
+def save_synthetic_judge(path: str, words: List[str], *,
+                         n_embd: int = 32, n_layer: int = 2,
+                         n_head: int = 2, n_positions: int = 64) -> str:
+    """Write a tiny random-weight causal-LM judge (GPT-2 architecture +
+    WordLevel tokenizer) to `path` in the HF folder layout, loadable by
+    `compute_generative_ppl(judge_model_name=path)`.
+
+    Purpose: lets the EXACT gen-PPL protocol code path (reference
+    eval_utils.py:28-90 — AutoTokenizer re-tokenization, mask-weighted
+    CE, token-mean exp) execute end-to-end in this zero-egress image.
+    Scores from a random judge are obviously not the published metric;
+    pass `judge_model_name='gpt2-large'` (cached) or a local snapshot
+    dir for the real one — no other change needed.
+    """
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (GPT2Config, GPT2LMHeadModel,
+                              PreTrainedTokenizerFast)
+    vocab = {w: i for i, w in enumerate(dict.fromkeys(words))}
+    vocab['<unk>'] = len(vocab)
+    vocab['<eos>'] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab, unk_token='<unk>'))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token='<unk>',
+                            eos_token='<eos>').save_pretrained(path)
+    cfg = GPT2Config(vocab_size=len(vocab), n_embd=n_embd,
+                     n_layer=n_layer, n_head=n_head,
+                     n_positions=n_positions)
+    GPT2LMHeadModel(cfg).save_pretrained(path)
+    return path
+
+
 def compute_generative_ppl(
         texts: List[str], *,
         judge_model_name: str = 'gpt2-large',

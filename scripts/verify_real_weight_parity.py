@@ -108,14 +108,10 @@ def check_parity(ckpt_dir: str, is_real: bool) -> float:
     return diff
 
 
-def maybe_gen_ppl(assets_dir: str, ckpt_dir: str) -> None:
+def maybe_gen_ppl(assets_dir: str, ckpt_dir: str,
+                  work_dir: str = '/tmp/ddg_parity_work') -> None:
     judge = os.path.join(assets_dir, 'gpt2-large')
-    if not os.path.isdir(judge):
-        print(f'[gen-ppl] SKIP: judge not found at {judge!r} '
-              '(offline image). With assets present this scores '
-              'samples from the converted checkpoint under gpt2-large '
-              'per /root/reference/eval_utils.py:28-90.')
-        return
+    judge_real = os.path.isdir(judge)
     import jax
     import jax.numpy as jnp
 
@@ -143,12 +139,36 @@ def maybe_gen_ppl(assets_dir: str, ckpt_dir: str) -> None:
         make_model_apply(model),
         jax.tree.map(jnp.asarray, params), jax.random.PRNGKey(0),
         batch_size=8, length=L, dit_cfg=dit_cfg)
-    from transformers import AutoTokenizer
-    tok = AutoTokenizer.from_pretrained('bert-base-uncased')
-    texts = tok.batch_decode(np.asarray(out), skip_special_tokens=True)
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained('bert-base-uncased')
+        texts = tok.batch_decode(np.asarray(out),
+                                 skip_special_tokens=True)
+    except Exception:
+        # bert vocab not cached (offline image): surrogate word-level
+        # decode so the judge pipeline still runs on real sample ids.
+        print('[gen-ppl] bert-base-uncased tokenizer unavailable -> '
+              'surrogate "w<id>" decode')
+        texts = [' '.join(f'w{i}' for i in row)
+                 for row in np.asarray(out).tolist()]
+    if not judge_real:
+        # Execute the SAME protocol code path against a tiny local
+        # random-weight judge (vocab built over the sample words) so
+        # the pipeline is proven end-to-end; scores are meaningless
+        # until the real judge is present.
+        from ddg_tpu.eval_utils import save_synthetic_judge
+        judge = os.path.join(work_dir, 'synthetic-judge')
+        words = sorted({w for t in texts for w in t.split()})
+        save_synthetic_judge(judge, words[:4096])
+        print(f'[gen-ppl] judge not found at {assets_dir!r}/gpt2-large '
+              '-> SYNTHETIC random-weight judge (same code path; '
+              'scores not the published metric)')
     ppl = compute_generative_ppl(texts, judge_model_name=judge,
                                  max_length=1024)
-    print(f'[gen-ppl:REAL] gpt2-large generative PPL = {ppl:.3f}')
+    tag = 'REAL' if judge_real else 'SYNTHETIC'
+    print(f'[gen-ppl:{tag}] generative PPL under '
+          f'{"gpt2-large" if judge_real else "random judge"} = '
+          f'{ppl:.3f}')
 
 
 def main():
@@ -162,7 +182,7 @@ def main():
     ckpt_dir, is_real = ensure_checkpoint(args.assets_dir,
                                           args.work_dir)
     check_parity(ckpt_dir, is_real)
-    maybe_gen_ppl(args.assets_dir, ckpt_dir)
+    maybe_gen_ppl(args.assets_dir, ckpt_dir, args.work_dir)
     print('verify_real_weight_parity: PASSED'
           + ('' if is_real else ' (synthetic stand-in mode)'))
     return 0

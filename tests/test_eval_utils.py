@@ -49,3 +49,22 @@ def test_ar_judge_gen_ppl():
         params=params, bos_token_id=2, pad_token_id=5)
     # zero-init head => uniform predictions => ppl ~ V
     assert abs(ppl - V) < 1.0
+
+
+def test_generative_ppl_protocol_executes_offline(tmp_path):
+    """The EXACT gpt2-large gen-PPL code path (reference
+    eval_utils.py:28-90: AutoTokenizer re-tokenization, mask-weighted
+    CE, exp of token mean) executes end-to-end against a local
+    random-weight judge written by save_synthetic_judge; flipping to
+    the real judge is just judge_model_name='gpt2-large'."""
+    from ddg_tpu.eval_utils import (compute_generative_ppl,
+                                    save_synthetic_judge)
+    d = save_synthetic_judge(
+        str(tmp_path / 'judge'),
+        ['the', 'cat', 'sat', 'on', 'mat', 'dog', 'ran'])
+    ppl = compute_generative_ppl(
+        ['the cat sat on mat', 'dog ran', 'the dog sat'],
+        judge_model_name=d, batch_size=2)
+    assert np.isfinite(ppl) and ppl > 1.0
+    # Degenerate judge => ppl near uniform over its 9-token vocab.
+    assert ppl < 100.0
