@@ -184,8 +184,9 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             pallas_scan=mc.get('pallas_scan', 'auto'),
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
             remat=bool(mc.get('remat', False)),
-            scan_seg=int(mc.get('scan_seg', 8)),
-            scan_seg_bwd=int(mc.get('scan_seg_bwd', 4)),
+            scan_seg=int(mc.get('scan_seg', 32)),
+            scan_seg_bwd=int(mc.get('scan_seg_bwd', 32)),
+            scan_impl=str(mc.get('scan_impl', 'pps')),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
@@ -257,8 +258,9 @@ def build_classifier_model(config: Config, spec):
             pallas_scan=mc.get('pallas_scan', 'auto'),
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
             remat=bool(mc.get('remat', False)),
-            scan_seg=int(mc.get('scan_seg', 8)),
-            scan_seg_bwd=int(mc.get('scan_seg_bwd', 4)),
+            scan_seg=int(mc.get('scan_seg', 32)),
+            scan_seg_bwd=int(mc.get('scan_seg_bwd', 32)),
+            scan_impl=str(mc.get('scan_impl', 'pps')),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'

@@ -67,12 +67,20 @@ class DiMambaConfig:
     # on vs 400.8 ms off — XLA already overlaps the dt_proj); the
     # HBM saving may pay at larger batch.
     dt_inkernel: bool = False
-    # Hybrid-scan segment lengths inside the Pallas kernel (fwd pass /
-    # bwd pass). Measured at the Species10 shape on v5e: fwd is
-    # fastest at seg=8, the bwd kernel at seg=4 (sweep in
-    # scripts/bench_scan_sweep.py).
-    scan_seg: int = 8
-    scan_seg_bwd: int = 4
+    # Segment lengths of the within-chunk scan inside the Pallas
+    # kernel (fwd pass / bwd pass). Measured at the Species10 shape on
+    # v5e (scripts/bench_scan_sweep.py): pps is fastest at seg=32 for
+    # both passes; the hybrid impl peaked at seg=8 fwd / seg=4 bwd.
+    scan_seg: int = 32
+    scan_seg_bwd: int = 32
+    # Within-chunk scan decomposition inside the Pallas kernel:
+    # 'hybrid' = sequential over segments, log-depth (Hillis-Steele)
+    # within; 'pps' (default) = parallel over segments, sequential
+    # within — the seg-step inner loop runs on full-width slabs with
+    # no shift/mask overhead (ops/selective_scan_pallas.py::
+    # _chunk_states_pps). On-chip at the Species10 shape: fwd
+    # 10.91 -> 9.89 ms, fwd+bwd 19.95 -> 18.07 ms vs hybrid.
+    scan_impl: str = 'pps'
     dropout: float = 0.1
     # Rematerialize each block in the backward pass. Needed on the XLA
     # scan path, where autodiff stores h (B, L, d_inner, N) per
@@ -257,7 +265,7 @@ class MambaCore(nn.Module):
             return selective_scan_pallas_dtlr(
                 x, dt_lr, W_dt, b_dt, A, B_ssm, C_ssm, D, z,
                 chunk=cfg.scan_chunk, seg=cfg.scan_seg,
-                seg_bwd=cfg.scan_seg_bwd)
+                seg_bwd=cfg.scan_seg_bwd, scan_impl=cfg.scan_impl)
         delta = jax.nn.softplus(dt_dense(dt_lr))
         if use_pallas:
             from ddg_tpu.ops.selective_scan_pallas import \
@@ -265,7 +273,8 @@ class MambaCore(nn.Module):
             return selective_scan_pallas(x, delta, A, B_ssm, C_ssm, D,
                                          z, chunk=cfg.scan_chunk,
                                          seg=cfg.scan_seg,
-                                         seg_bwd=cfg.scan_seg_bwd)
+                                         seg_bwd=cfg.scan_seg_bwd,
+                                         scan_impl=cfg.scan_impl)
         return selective_scan(x, delta, A, B_ssm, C_ssm, D, z,
                               chunk=cfg.scan_chunk)
 

@@ -149,9 +149,87 @@ def _suffix_scan(a_up, w, *, seg: int = 8):
     return jnp.concatenate(outs, axis=0)
 
 
+def _chunk_states_pps(h0, a, b, *, seg: int = 8):
+    """`_chunk_states` with the hybrid inverted: PARALLEL over the
+    C/seg segments, SEQUENTIAL within each segment.
+
+    The seg-step inner loop runs on full-width (C/seg, 1, N, d_tile)
+    slabs — every step is 2 FMAs + 1 mul per element with NO
+    roll/iota-mask overhead (the Hillis-Steele levels cost ~6-8 VPU
+    ops per element per level in shifts and masks). Cross-segment
+    carries are resolved by a log-depth scan over the C/seg
+    segment-summary rows (negligible: (C/seg, N, d) elements) and a
+    rank-1 fix-up h = h_local + p_cum * entry."""
+    C, N_, d_ = a.shape
+    m = C // seg
+    if C % seg or m < 2:
+        return _chunk_states(h0, a, b, seg=seg)
+    a4 = a.reshape(m, seg, N_, d_)      # leading-axis split only
+    b4 = b.reshape(m, seg, N_, d_)
+    h = jnp.zeros((m, 1, N_, d_), a.dtype)
+    p = None
+    hs, ps = [], []
+    for j in range(seg):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        b_j = jax.lax.slice_in_dim(b4, j, j + 1, axis=1)
+        h = a_j * h + b_j               # local state, segment h0 = 0
+        p = a_j if p is None else p * a_j
+        hs.append(h)
+        ps.append(p)
+    h_loc = jnp.concatenate(hs, axis=1)             # (m, seg, N, d)
+    p_cum = jnp.concatenate(ps, axis=1)
+    # Global state at each segment end: inclusive affine scan of the
+    # (full-segment product, local end state) summaries against h0.
+    A_cum, B_resp = _hs_scan(ps[-1], hs[-1])        # over axis 0, m
+    g_end = A_cum * h0[None, None] + B_resp
+    ent = _shift_fwd(g_end, 1)                      # e_i = g_end_{i-1}
+    ids = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 0)
+    ent = jnp.where(ids == 0, h0[None, None].astype(ent.dtype), ent)
+    return (h_loc + p_cum * ent).reshape(C, N_, d_)
+
+
+def _suffix_scan_pps(a_up, w, *, seg: int = 8):
+    """`_suffix_scan` (dh_t = w_t + a_up_t dh_{t+1}, dh_C = 0) with
+    the parallel-over-segments decomposition, right-to-left."""
+    C, N_, d_ = a_up.shape
+    m = C // seg
+    if C % seg or m < 2:
+        return _suffix_scan(a_up, w, seg=seg)
+    a4 = a_up.reshape(m, seg, N_, d_)
+    w4 = w.reshape(m, seg, N_, d_)
+    dh = jnp.zeros((m, 1, N_, d_), a_up.dtype)
+    q = None
+    dhs, qs = [None] * seg, [None] * seg
+    for j in reversed(range(seg)):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        w_j = jax.lax.slice_in_dim(w4, j, j + 1, axis=1)
+        dh = w_j + a_j * dh             # local suffix, carry-in = 0
+        q = a_j if q is None else a_j * q
+        dhs[j] = dh
+        qs[j] = q
+    loc = jnp.concatenate(dhs, axis=1)
+    q_cum = jnp.concatenate(qs, axis=1)
+    # Global dh at segment starts: suffix scan of the summaries.
+    _, dh_starts = _hs_scan(qs[0], dhs[0], reverse=True)
+    nxt = _shift_rev(dh_starts, 1)      # dh at next segment's start
+    ids = jax.lax.broadcasted_iota(jnp.int32, nxt.shape, 0)
+    nxt = jnp.where(ids == m - 1, jnp.zeros((), nxt.dtype), nxt)
+    return (loc + q_cum * nxt).reshape(C, N_, d_)
+
+
+def _states(h0, a, b, *, seg, impl):
+    fn = _chunk_states_pps if impl == 'pps' else _chunk_states
+    return fn(h0, a, b, seg=seg)
+
+
+def _suffix(a_up, w, *, seg, impl):
+    fn = _suffix_scan_pps if impl == 'pps' else _suffix_scan
+    return fn(a_up, w, seg=seg)
+
+
 def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
                 d_vec_ref, y_ref, h0_out_ref, h_scr, *, seg,
-                scan_dtype):
+                scan_dtype, scan_impl='hybrid'):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -176,8 +254,8 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # in the scratch so error does not compound across chunks).
     a = a.astype(scan_dtype)
     b = b.astype(scan_dtype)
-    h_all = _chunk_states(h0.astype(scan_dtype), a, b,
-                          seg=seg).astype(jnp.float32)
+    h_all = _states(h0.astype(scan_dtype), a, b, seg=seg,
+                    impl=scan_impl).astype(jnp.float32)
     h_scr[...] = _time_row(h_all, -1)
     # Fused epilogue: y = (scan + D*u) * silu(z) — three elementwise
     # HBM passes of the unfused chain folded into the kernel.
@@ -188,7 +266,8 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
 def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
                 d_vec_ref, h0_ref, g_ref,
                 du_ref, ddt_ref, db_ref, dc_ref, da_log_ref, dz_ref,
-                dd_vec_ref, carry_scr, *, seg, scan_dtype):
+                dd_vec_ref, carry_scr, *, seg, scan_dtype,
+                scan_impl='hybrid'):
     """Adjoint scan; grid index k maps to chunk nc-1-k (reverse
     chunk order, see the index maps). carry_scr holds
     a_first*dh_first of the chunk to the right (zero at the last).
@@ -216,9 +295,9 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # Recompute within-chunk forward states.
     a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
     b = (dt * u)[:, None, :] * Bc[..., None]
-    h_all = _chunk_states(h0.astype(scan_dtype), a.astype(scan_dtype),
-                          b.astype(scan_dtype),
-                          seg=seg).astype(jnp.float32)
+    h_all = _states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                    b.astype(scan_dtype), seg=seg,
+                    impl=scan_impl).astype(jnp.float32)
     # h_{t-1}: shift down by one, h0 at t=0.
     h_prev = jnp.where(t_ids == 0, h0[None],
                        pltpu.roll(h_all, 1, 0))
@@ -238,8 +317,8 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
     a_up = jnp.where(t_ids == C_len - 1, 1.0,
                      pltpu.roll(a, C_len - 1, 0))
-    dh = _suffix_scan(a_up.astype(scan_dtype), w.astype(scan_dtype),
-                      seg=seg).astype(jnp.float32)    # (C, N, d)
+    dh = _suffix(a_up.astype(scan_dtype), w.astype(scan_dtype),
+                 seg=seg, impl=scan_impl).astype(jnp.float32)
 
     carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
 
@@ -285,7 +364,8 @@ def _specs(chunk, d_tile, N, *, rev, nc):
 
 
 def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
-              interpret, seg=8, scan_dtype=jnp.float32):
+              interpret, seg=8, scan_dtype=jnp.float32,
+              scan_impl='hybrid'):
     B, L, d = u.shape
     N = A_log.shape[0]
     nc = L // chunk
@@ -294,7 +374,8 @@ def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
     d_spec = pl.BlockSpec((1, d_tile), lambda bi, di, k: (0, di),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, seg=seg, scan_dtype=scan_dtype),
+        functools.partial(_fwd_kernel, seg=seg, scan_dtype=scan_dtype,
+                          scan_impl=scan_impl),
         grid=(B, d // d_tile, nc),
         in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, u_spec,
                   d_spec],
@@ -307,7 +388,8 @@ def _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, *, chunk, d_tile,
 
 
 def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
-              d_tile, interpret, seg=8, scan_dtype=jnp.float32):
+              d_tile, interpret, seg=8, scan_dtype=jnp.float32,
+              scan_impl='hybrid'):
     B, L, d = u.shape
     N = A_log.shape[0]
     nc = L // chunk
@@ -327,7 +409,8 @@ def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
                            lambda bi, di, k: (di, bi, kmap(k), 0),
                            memory_space=pltpu.VMEM)
     du, ddt, db, dc, dAlog, dz, dD = pl.pallas_call(
-        functools.partial(_bwd_kernel, seg=seg, scan_dtype=scan_dtype),
+        functools.partial(_bwd_kernel, seg=seg, scan_dtype=scan_dtype,
+                          scan_impl=scan_impl),
         grid=(B, n_d, nc),
         in_specs=[u_spec, u_spec, n_spec, n_spec, a_spec, u_spec,
                   d_spec, h0_spec, u_spec],
@@ -348,10 +431,11 @@ def _bwd_call(u, delta, A_log, Bc, Cc, z, Dv, h0s, g, *, chunk,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11,
-                                                    12, 13))
+                                                    12, 13, 14))
 def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
              d_tile_bwd=128, interpret=False, seg=8,
-             scan_dtype=jnp.float32, seg_bwd=None):
+             scan_dtype=jnp.float32, seg_bwd=None,
+             scan_impl='hybrid'):
     """y_t = (sum_n C_{t,n} h_{t,n,:} + D u_t) * silu(z_t) with the
     Mamba recurrence — skip connection and gate fused in-kernel.
 
@@ -359,32 +443,35 @@ def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
     Bc, Cc: (B, L, N); Dv: (d,). Returns y (B, L, d) fp32.
     Differentiable wrt all seven tensor args. chunk must divide L;
     d_tile(|_bwd) divide d. seg = sequential-segment length of the
-    hybrid within-chunk scan; scan_dtype = in-kernel dtype of the
+    within-chunk scan; scan_dtype = in-kernel dtype of the
     affine-scan FMAs (bfloat16 halves VPU width; cross-chunk state
-    stays fp32).
+    stays fp32); scan_impl = 'hybrid' (sequential over segments,
+    log-depth within) or 'pps' (parallel over segments, sequential
+    within — no shift/mask overhead in the inner loop).
     """
     y, _ = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                      d_tile=d_tile, interpret=interpret, seg=seg,
-                     scan_dtype=scan_dtype)
+                     scan_dtype=scan_dtype, scan_impl=scan_impl)
     return y
 
 
 def _ssm_scan_vjp_fwd(u, delta, A_log, Bc, Cc, z, Dv, chunk, d_tile,
-                      d_tile_bwd, interpret, seg, scan_dtype, seg_bwd):
+                      d_tile_bwd, interpret, seg, scan_dtype, seg_bwd,
+                      scan_impl):
     y, h0s = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                        d_tile=d_tile, interpret=interpret, seg=seg,
-                       scan_dtype=scan_dtype)
+                       scan_dtype=scan_dtype, scan_impl=scan_impl)
     return y, (u, delta, A_log, Bc, Cc, z, Dv, h0s)
 
 
 def _ssm_scan_vjp_bwd(chunk, d_tile, d_tile_bwd, interpret, seg,
-                      scan_dtype, seg_bwd, res, g):
+                      scan_dtype, seg_bwd, scan_impl, res, g):
     u, delta, A_log, Bc, Cc, z, Dv, h0s = res
     du, ddt, db, dc, dAlog, dz, dD = _bwd_call(
         u, delta, A_log, Bc, Cc, z, Dv, h0s, g, chunk=chunk,
         d_tile=d_tile_bwd, interpret=interpret,
         seg=seg if seg_bwd is None else seg_bwd,
-        scan_dtype=scan_dtype)
+        scan_dtype=scan_dtype, scan_impl=scan_impl)
     return (du.astype(u.dtype), ddt.astype(delta.dtype),
             dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
             dc.astype(Cc.dtype), dz.astype(z.dtype),
@@ -415,7 +502,8 @@ def _pad_time(x, chunk):
 def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
                           d_tile=None, d_tile_bwd=None,
                           interpret=False, seg=8,
-                          scan_dtype=jnp.float32, seg_bwd=None):
+                          scan_dtype=jnp.float32, seg_bwd=None,
+                          scan_impl='hybrid'):
     """Drop-in replacement for models/dimamba.py::selective_scan with
     the recurrence in a Pallas kernel. u, delta, z: (B, L, d);
     A: (d, N) (= -exp(A_log)); B, C: (B, L, N); D: (d,).
@@ -443,7 +531,7 @@ def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
     zp = _pad_time(z, chunk)
     y = ssm_scan(up, dtp, A_log, Bp, Cp, zp,
                  D.astype(jnp.float32), chunk, d_tile, d_tile_bwd,
-                 interpret, seg, scan_dtype, seg_bwd)
+                 interpret, seg, scan_dtype, seg_bwd, scan_impl)
     return y[:, :L].astype(u.dtype)
 
 
@@ -466,7 +554,7 @@ def _delta_from_lr(dtlr, wdt, bdt):
 
 def _fwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
                    a_log_ref, z_ref, d_vec_ref, y_ref, h0_out_ref,
-                   h_scr, *, seg, scan_dtype):
+                   h_scr, *, seg, scan_dtype, scan_impl='hybrid'):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -489,9 +577,9 @@ def _fwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
 
     a = jnp.exp(dt[:, None, :] * A[None])
     b = (dt * u)[:, None, :] * Bc[..., None]
-    h_all = _chunk_states(h0.astype(scan_dtype), a.astype(scan_dtype),
-                          b.astype(scan_dtype),
-                          seg=seg).astype(jnp.float32)
+    h_all = _states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                    b.astype(scan_dtype), seg=seg,
+                    impl=scan_impl).astype(jnp.float32)
     h_scr[...] = _time_row(h_all, -1)
     y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
     y_ref[0] = y_pre * (z * jax.nn.sigmoid(z))
@@ -501,7 +589,7 @@ def _bwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
                    a_log_ref, z_ref, d_vec_ref, h0_ref, g_ref,
                    du_ref, ddtlr_ref, dwdt_ref, dbdt_ref, db_ref,
                    dc_ref, da_log_ref, dz_ref, dd_vec_ref, carry_scr,
-                   *, seg, scan_dtype):
+                   *, seg, scan_dtype, scan_impl='hybrid'):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -526,9 +614,9 @@ def _bwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
 
     a = jnp.exp(dt[:, None, :] * A[None])
     b = (dt * u)[:, None, :] * Bc[..., None]
-    h_all = _chunk_states(h0.astype(scan_dtype), a.astype(scan_dtype),
-                          b.astype(scan_dtype),
-                          seg=seg).astype(jnp.float32)
+    h_all = _states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                    b.astype(scan_dtype), seg=seg,
+                    impl=scan_impl).astype(jnp.float32)
     h_prev = jnp.where(t_ids == 0, h0[None], pltpu.roll(h_all, 1, 0))
 
     sig = jax.nn.sigmoid(z)
@@ -541,8 +629,8 @@ def _bwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
     w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
     a_up = jnp.where(t_ids == C_len - 1, 1.0,
                      pltpu.roll(a, C_len - 1, 0))
-    dh = _suffix_scan(a_up.astype(scan_dtype), w.astype(scan_dtype),
-                      seg=seg).astype(jnp.float32)
+    dh = _suffix(a_up.astype(scan_dtype), w.astype(scan_dtype),
+                 seg=seg, impl=scan_impl).astype(jnp.float32)
 
     carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
 
@@ -586,7 +674,8 @@ def _bwd_kernel_lr(u_ref, dtlr_ref, wdt_ref, bdt_ref, b_ref, c_ref,
 
 
 def _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, *, chunk,
-                 d_tile, interpret, seg, scan_dtype):
+                 d_tile, interpret, seg, scan_dtype,
+                 scan_impl='hybrid'):
     B, L, d = u.shape
     N = A_log.shape[0]
     R = dtlr.shape[-1]
@@ -601,7 +690,7 @@ def _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, *, chunk,
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_lr, seg=seg,
-                          scan_dtype=scan_dtype),
+                          scan_dtype=scan_dtype, scan_impl=scan_impl),
         grid=(B, d // d_tile, nc),
         in_specs=[u_spec, r_spec, w_spec, d_spec, n_spec, n_spec,
                   a_spec, u_spec, d_spec],
@@ -615,7 +704,8 @@ def _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, *, chunk,
 
 
 def _bwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s, g, *,
-                 chunk, d_tile, interpret, seg, scan_dtype):
+                 chunk, d_tile, interpret, seg, scan_dtype,
+                 scan_impl='hybrid'):
     B, L, d = u.shape
     N = A_log.shape[0]
     R = dtlr.shape[-1]
@@ -649,7 +739,7 @@ def _bwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s, g, *,
     (du, ddtlr, dwdt, dbdt, db, dc, dAlog, dz,
      dD) = pl.pallas_call(
         functools.partial(_bwd_kernel_lr, seg=seg,
-                          scan_dtype=scan_dtype),
+                          scan_dtype=scan_dtype, scan_impl=scan_impl),
         grid=(B, n_d, nc),
         in_specs=[u_spec, r_spec, w_spec, d_spec, n_spec, n_spec,
                   a_spec, u_spec, d_spec, h0_spec, u_spec],
@@ -675,10 +765,11 @@ def _bwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s, g, *,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13,
-                                                    14, 15))
+                                                    14, 15, 16))
 def ssm_scan_dtlr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, chunk=128,
                   d_tile=256, d_tile_bwd=128, interpret=False, seg=8,
-                  scan_dtype=jnp.float32, seg_bwd=None):
+                  scan_dtype=jnp.float32, seg_bwd=None,
+                  scan_impl='hybrid'):
     """ssm_scan with delta = softplus(dtlr @ wdt + bdt) computed
     in-kernel. dtlr: (B, L, R); wdt: (R, d); bdt: (d,); the rest as
     ssm_scan. Requires L % chunk == 0 (a padded tail would carry
@@ -687,28 +778,28 @@ def ssm_scan_dtlr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, chunk=128,
     y, _ = _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv,
                         chunk=chunk, d_tile=d_tile,
                         interpret=interpret, seg=seg,
-                        scan_dtype=scan_dtype)
+                        scan_dtype=scan_dtype, scan_impl=scan_impl)
     return y
 
 
 def _ssm_scan_dtlr_fwd(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, chunk,
                        d_tile, d_tile_bwd, interpret, seg, scan_dtype,
-                       seg_bwd):
+                       seg_bwd, scan_impl):
     y, h0s = _fwd_call_lr(u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv,
                           chunk=chunk, d_tile=d_tile,
                           interpret=interpret, seg=seg,
-                          scan_dtype=scan_dtype)
+                          scan_dtype=scan_dtype, scan_impl=scan_impl)
     return y, (u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s)
 
 
 def _ssm_scan_dtlr_bwd(chunk, d_tile, d_tile_bwd, interpret, seg,
-                       scan_dtype, seg_bwd, res, g):
+                       scan_dtype, seg_bwd, scan_impl, res, g):
     u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s = res
     (du, ddtlr, dwdt, dbdt, db, dc, dAlog, dz, dD) = _bwd_call_lr(
         u, dtlr, wdt, bdt, A_log, Bc, Cc, z, Dv, h0s, g, chunk=chunk,
         d_tile=d_tile_bwd, interpret=interpret,
         seg=seg if seg_bwd is None else seg_bwd,
-        scan_dtype=scan_dtype)
+        scan_dtype=scan_dtype, scan_impl=scan_impl)
     return (du.astype(u.dtype), ddtlr.astype(dtlr.dtype),
             dwdt.astype(wdt.dtype), dbdt.astype(bdt.dtype),
             dAlog.astype(A_log.dtype), db.astype(Bc.dtype),
@@ -722,7 +813,8 @@ ssm_scan_dtlr.defvjp(_ssm_scan_dtlr_fwd, _ssm_scan_dtlr_bwd)
 def selective_scan_pallas_dtlr(u, dt_lr, W_dt, b_dt, A, B, C, D, z, *,
                                chunk=128, d_tile=None, d_tile_bwd=None,
                                interpret=False, seg=8,
-                               scan_dtype=jnp.float32, seg_bwd=None):
+                               scan_dtype=jnp.float32, seg_bwd=None,
+                               scan_impl='hybrid'):
     """selective_scan with the dt_proj + softplus fused in-kernel.
 
     dt_lr: (B, L, R) low-rank dt (the x_proj output slice, BEFORE
@@ -742,5 +834,5 @@ def selective_scan_pallas_dtlr(u, dt_lr, W_dt, b_dt, A, B, C, D, z, *,
                       W_dt.astype(jnp.float32),
                       b_dt.astype(jnp.float32), A_log, B, C, z,
                       D.astype(jnp.float32), chunk, d_tile, d_tile_bwd,
-                      interpret, seg, scan_dtype, seg_bwd)
+                      interpret, seg, scan_dtype, seg_bwd, scan_impl)
     return y.astype(u.dtype)

@@ -31,10 +31,17 @@ z = jax.random.normal(ks[6], (B, L, d))
 
 K = 4  # amortize the ~30 ms per-dispatch overhead inside one program
 ref = None
-for seg, dt in [(8, jnp.float32), (4, jnp.float32), (16, jnp.float32),
-                (8, jnp.bfloat16), (16, jnp.bfloat16)]:
-    one = lambda *a, seg=seg, dt=dt: selective_scan_pallas(
-        *a, seg=seg, scan_dtype=dt)
+import sys
+SWEEP = [(8, jnp.float32, 'hybrid'), (4, jnp.float32, 'hybrid'),
+         (16, jnp.float32, 'hybrid'), (8, jnp.bfloat16, 'hybrid'),
+         (16, jnp.bfloat16, 'hybrid')]
+if '--pps' in sys.argv:
+    SWEEP = [(8, jnp.float32, 'hybrid'), (4, jnp.float32, 'pps'),
+             (8, jnp.float32, 'pps'), (16, jnp.float32, 'pps'),
+             (32, jnp.float32, 'pps')]
+for seg, dt, impl in SWEEP:
+    one = lambda *a, seg=seg, dt=dt, impl=impl: selective_scan_pallas(
+        *a, seg=seg, scan_dtype=dt, scan_impl=impl)
 
     @jax.jit
     def fwdK(u, delta, A, Bc, Cc, D, z, one=one):
@@ -61,5 +68,5 @@ for seg, dt in [(8, jnp.float32), (4, jnp.float32), (16, jnp.float32),
     t_f = timeit(fwdK, u, delta, A, Bc, Cc, D, z, iters=3) / K
     t_fb = timeit(fbK, u, delta, A, Bc, Cc, D, z, iters=3) / K
     name = 'bf16' if dt == jnp.bfloat16 else 'fp32'
-    print(f'seg={seg:>2} {name}: fwd {t_f*1e3:7.2f} ms  fwd+bwd '
-          f'{t_fb*1e3:7.2f} ms  rel-err {rel:.2e}', flush=True)
+    print(f'seg={seg:>2} {name} {impl:>6}: fwd {t_f*1e3:7.2f} ms  '
+          f'fwd+bwd {t_fb*1e3:7.2f} ms  rel-err {rel:.2e}', flush=True)

@@ -34,8 +34,14 @@ DIFF=(
   model.length=2048 '+model.d_state=8'
 )
 CLF=(
-  classifier_model.hidden_size=64 classifier_model.cond_dim=32
-  classifier_model.n_blocks=4 classifier_model.length=2048
+  # HyenaDNA judge (reference protocol; train script's default),
+  # scaled to the demo size. The eval step re-declares backbone+model
+  # so its restore matches the trained judge.
+  classifier_backbone=hyenadna
+  classifier_model=hyenadna-classifier
+  classifier_model.d_model=64 classifier_model.n_layer=2
+  classifier_model.d_inner=256 classifier_model.filter_order=16
+  classifier_model.length=2048
 )
 
 echo "=== [1/3] train guided UDLM DiMamba ==="

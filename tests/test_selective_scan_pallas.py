@@ -187,3 +187,30 @@ def test_dt_lowrank_rejects_unaligned_length():
             -jnp.ones((D, N)), jnp.zeros((1, 17, N)),
             jnp.zeros((1, 17, N)), jnp.zeros((D,)),
             jnp.zeros((1, 17, D)), chunk=CHUNK, interpret=True)
+
+
+def test_pps_scan_impl_matches():
+    """'pps' (parallel-over-segments, sequential-within) is a pure
+    schedule change of the within-chunk scan: forward values and all
+    seven gradients must match the default 'hybrid' kernel."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=8)
+    w = jax.random.normal(jax.random.PRNGKey(9), (B, L, D))
+    args = (u, delta, A, Bc, Cc, Dp, z)
+    pps = functools.partial(selective_scan_pallas, chunk=CHUNK,
+                            d_tile=8, d_tile_bwd=8, interpret=True,
+                            seg=4, seg_bwd=4, scan_impl='pps')
+    y_pps = pps(*args)
+    y_ref = _pallas(*args)
+    np.testing.assert_allclose(y_pps, y_ref, rtol=2e-5, atol=2e-5)
+
+    def loss(fn, *a):
+        return (fn(*a) * w).sum()
+
+    g_pps = jax.grad(functools.partial(loss, pps),
+                     argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(functools.partial(loss, _pallas),
+                     argnums=tuple(range(7)))(*args)
+    names = ['u', 'delta', 'A', 'B', 'C', 'D', 'z']
+    for name, a, b in zip(names, g_pps, g_ref):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=f'grad mismatch: {name}')
