@@ -27,6 +27,9 @@ import numpy as np
 
 from ddg_tpu.guidance_eval import metrics as gm
 from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, diffusion_sample
+from ddg_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 
 def qm9_guidance_eval(spec, sampler: SamplerSpec, model_apply, params,
@@ -132,6 +135,8 @@ def ten_species_eval(spec, sampler: SamplerSpec, model_apply, params,
     all_texts, y_true = [], []
     key = jax.random.PRNGKey(seed)
     for c in range(num_classes):
+        log.info('ten_species_eval: sampling class %d/%d '
+                 '(%d samples)', c + 1, num_classes, samples_per_class)
         guidance = GuidanceSpec(method=guidance_method, gamma=gamma,
                                 condition=c)
         cond = (jnp.full((batch_size,), c, jnp.int32)
@@ -152,14 +157,19 @@ def ten_species_eval(spec, sampler: SamplerSpec, model_apply, params,
 
     result: Dict = {'num_samples': len(all_texts)}
     if eval_classifier is not None:
+        log.info('ten_species_eval: scoring %d samples with the eval '
+                 'classifier', len(all_texts))
         y_pred = eval_classifier(all_texts)
         result.update(gm.classification_metrics(
             y_true, y_pred, num_classes))
     if reference_sequences is not None:
+        log.info('ten_species_eval: 3/6-mer JS vs %d reference '
+                 'sequences', len(reference_sequences))
         for k_size in (3, 6):
             result[f'js_{k_size}mer'] = gm.kmer_js_divergence(
                 all_texts, reference_sequences, k_size)
     if discriminator_scores is not None:
+        log.info('ten_species_eval: training the AUROC discriminator')
         real_s, fake_s = discriminator_scores(
             reference_sequences or [], all_texts)
         result['discriminator_auroc'] = gm.discriminator_auroc(
@@ -288,12 +298,16 @@ def train_eval_discriminator(real_texts, fake_texts, tokenizer, *,
                                               avg))
     rs = np.random.RandomState(seed)
     bs = min(32, len(x))
-    for _ in range(steps):
+    ones = jnp.ones((bs, length), jnp.float32)
+    for i in range(steps):
         idx = rs.choice(len(x), bs, replace=False)
         batch = {'input_ids': jnp.asarray(x[idx]),
-                 'attention_mask': jnp.ones((bs, length), jnp.float32),
+                 'attention_mask': ones,
                  'label': jnp.asarray(y[idx])}
-        state, _ = step(state, batch)
+        state, m = step(state, batch)
+        if (i + 1) % 50 == 0 or i + 1 == steps:
+            log.info('discriminator step %d/%d: loss=%.4f', i + 1,
+                     steps, float(m['loss']))
 
     def score_fn(texts):
         enc = jnp.asarray(encode(texts))

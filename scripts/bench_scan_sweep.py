@@ -39,9 +39,40 @@ if '--pps' in sys.argv:
     SWEEP = [(8, jnp.float32, 'hybrid'), (4, jnp.float32, 'pps'),
              (8, jnp.float32, 'pps'), (16, jnp.float32, 'pps'),
              (32, jnp.float32, 'pps')]
-for seg, dt, impl in SWEEP:
-    one = lambda *a, seg=seg, dt=dt, impl=impl: selective_scan_pallas(
-        *a, seg=seg, scan_dtype=dt, scan_impl=impl)
+# Sweep the OTHER kernel knobs under pps: (chunk, d_tile, d_tile_bwd,
+# seg). Baseline first = current defaults.
+SWEEP2 = [(128, 256, 128, 32), (256, 256, 128, 32),
+          (512, 256, 128, 32), (128, 512, 128, 32),
+          (256, 512, 128, 32), (128, 256, 256, 32),
+          (256, 256, 256, 32), (128, 256, 128, 64),
+          (256, 256, 128, 64), (256, 256, 256, 64)]
+# Round-2 of the sweep: combine the per-knob winners (tb=256 cut
+# fwd+bwd 18.42 -> 16.18; seg=64 cut fwd 10.71 -> 9.42) + probe the
+# remaining corners at chunk=128 (chunk>=256 with tb=256 VMEM-OOMs).
+SWEEP3 = [(128, 256, 256, 64), (128, 512, 256, 64),
+          (128, 256, 256, 128), (128, 256, 512, 32)]
+if '--pps2' in sys.argv:
+    SWEEP = [(chunk, dt_f, dt_b, seg) for chunk, dt_f, dt_b, seg
+             in SWEEP2]
+if '--pps3' in sys.argv:
+    SWEEP = [(chunk, dt_f, dt_b, seg) for chunk, dt_f, dt_b, seg
+             in SWEEP3]
+for entry in SWEEP:
+    if '--pps2' in sys.argv or '--pps3' in sys.argv:
+        chunk, tile_f, tile_b, seg = entry
+        dt, impl = jnp.float32, 'pps'
+        tag = f'chunk={chunk:>3} tf={tile_f} tb={tile_b} seg={seg:>2}'
+        one = (lambda *a, chunk=chunk, tile_f=tile_f, tile_b=tile_b,
+               seg=seg: selective_scan_pallas(
+                   *a, chunk=chunk, d_tile=tile_f, d_tile_bwd=tile_b,
+                   seg=seg, seg_bwd=seg, scan_impl='pps'))
+    else:
+        seg, dt, impl = entry
+        name = 'bf16' if dt == jnp.bfloat16 else 'fp32'
+        tag = f'seg={seg:>2} {name} {impl:>6}'
+        one = (lambda *a, seg=seg, dt=dt, impl=impl:
+               selective_scan_pallas(*a, seg=seg, scan_dtype=dt,
+                                     scan_impl=impl))
 
     @jax.jit
     def fwdK(u, delta, A, Bc, Cc, D, z, one=one):
@@ -61,12 +92,17 @@ for seg, dt, impl in SWEEP:
             acc = jnp.sum(g[0, 0])
         return acc
 
-    y = jax.jit(one)(u, delta, A, Bc, Cc, D, z)
-    if ref is None:
-        ref = y
-    rel = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
-    t_f = timeit(fwdK, u, delta, A, Bc, Cc, D, z, iters=3) / K
-    t_fb = timeit(fbK, u, delta, A, Bc, Cc, D, z, iters=3) / K
-    name = 'bf16' if dt == jnp.bfloat16 else 'fp32'
-    print(f'seg={seg:>2} {name} {impl:>6}: fwd {t_f*1e3:7.2f} ms  '
+    try:
+        y = jax.jit(one)(u, delta, A, Bc, Cc, D, z)
+        if ref is None:
+            ref = y
+        rel = float(jnp.max(jnp.abs(y - ref))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        t_f = timeit(fwdK, u, delta, A, Bc, Cc, D, z, iters=3) / K
+        t_fb = timeit(fbK, u, delta, A, Bc, Cc, D, z, iters=3) / K
+    except Exception as e:  # e.g. VMEM overflow at big chunk x tile
+        print(f'{tag}: FAILED {type(e).__name__}: {str(e)[:120]}',
+              flush=True)
+        continue
+    print(f'{tag}: fwd {t_f*1e3:7.2f} ms  '
           f'fwd+bwd {t_fb*1e3:7.2f} ms  rel-err {rel:.2e}', flush=True)

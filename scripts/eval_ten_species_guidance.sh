@@ -39,9 +39,12 @@ data = M.build_data(config)
 ref_seqs = tokenizer.batch_decode(data['valid']['input_ids'][:64])
 
 def disc_scores(real, fake):
+    # DISC_STEPS: reference protocol trains 200 steps
+    # (ten_species_eval.py:408-523); shrink for wiring demos.
     fn = train_eval_discriminator(
         real, fake, tokenizer, length=min(length, 2048),
-        vocab_size=spec.vocab_size)
+        vocab_size=spec.vocab_size,
+        steps=int(os.environ.get('DISC_STEPS', '200')))
     return fn(real), fn(fake)
 
 out = ten_species_eval(
