@@ -514,10 +514,15 @@ def selective_scan_pallas(u, delta, A, B, C, D, z, *, chunk=128,
     sliced off.
     """
     Bsz, L, d = u.shape
+    # Default tile targets re-swept for the pps impl on v5e
+    # (scripts/bench_scan_sweep.py --pps2/--pps4): fwd 512 / bwd 256
+    # beat the hybrid-era 256/128 by ~12%/18% fwd / fwd+bwd at the
+    # Species10 shape (chunk=128; chunk>=256 with these tiles
+    # VMEM-OOMs, d_tile_bwd=512 too).
     if d_tile is None:
-        d_tile = _divisor_tile(d, 256)
+        d_tile = _divisor_tile(d, 512)
     if d_tile_bwd is None:
-        d_tile_bwd = _divisor_tile(d, 128)
+        d_tile_bwd = _divisor_tile(d, 256)
     if d % d_tile or d % d_tile_bwd:
         raise ValueError(
             f'd_inner={d} must be divisible by d_tile={d_tile} and '

@@ -51,21 +51,35 @@ SWEEP2 = [(128, 256, 128, 32), (256, 256, 128, 32),
 # remaining corners at chunk=128 (chunk>=256 with tb=256 VMEM-OOMs).
 SWEEP3 = [(128, 256, 256, 64), (128, 512, 256, 64),
           (128, 256, 256, 128), (128, 256, 512, 32)]
+# Final confirm: mixed fwd/bwd segments — fwd fastest at seg=64,
+# bwd at seg_bwd=32 + tb=256. Entries: (chunk, tf, tb, seg, seg_bwd).
+SWEEP4 = [(128, 256, 128, 32, 32),      # current model default
+          (128, 256, 256, 64, 32),
+          (128, 512, 256, 64, 32),
+          (128, 256, 256, 32, 32)]
 if '--pps2' in sys.argv:
     SWEEP = [(chunk, dt_f, dt_b, seg) for chunk, dt_f, dt_b, seg
              in SWEEP2]
 if '--pps3' in sys.argv:
     SWEEP = [(chunk, dt_f, dt_b, seg) for chunk, dt_f, dt_b, seg
              in SWEEP3]
+if '--pps4' in sys.argv:
+    SWEEP = list(SWEEP4)
 for entry in SWEEP:
-    if '--pps2' in sys.argv or '--pps3' in sys.argv:
-        chunk, tile_f, tile_b, seg = entry
+    if '--pps2' in sys.argv or '--pps3' in sys.argv \
+            or '--pps4' in sys.argv:
+        if len(entry) == 5:
+            chunk, tile_f, tile_b, seg, seg_bwd = entry
+        else:
+            chunk, tile_f, tile_b, seg = entry
+            seg_bwd = seg
         dt, impl = jnp.float32, 'pps'
-        tag = f'chunk={chunk:>3} tf={tile_f} tb={tile_b} seg={seg:>2}'
+        tag = (f'chunk={chunk:>3} tf={tile_f} tb={tile_b} '
+               f'seg={seg:>2}/{seg_bwd:>2}')
         one = (lambda *a, chunk=chunk, tile_f=tile_f, tile_b=tile_b,
-               seg=seg: selective_scan_pallas(
+               seg=seg, seg_bwd=seg_bwd: selective_scan_pallas(
                    *a, chunk=chunk, d_tile=tile_f, d_tile_bwd=tile_b,
-                   seg=seg, seg_bwd=seg, scan_impl='pps'))
+                   seg=seg, seg_bwd=seg_bwd, scan_impl='pps'))
     else:
         seg, dt, impl = entry
         name = 'bf16' if dt == jnp.bfloat16 else 'fp32'
