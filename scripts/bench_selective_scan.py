@@ -68,9 +68,27 @@ def main():
                 / (jnp.max(jnp.abs(y0)) + 1e-9))
     print(f'fwd rel err: {err:.2e}')
 
-    t_xla = _timeit(xla, u, delta, A, Bc, Cc, D, z, iters=args.iters)
-    t_pal = _timeit(pallas, u, delta, A, Bc, Cc, D, z,
-                    iters=args.iters)
+    # K calls inside one jit: a single axon dispatch carries ~30 ms
+    # fixed overhead which would inflate both sides (CLAUDE.md rule);
+    # the acc perturbation defeats CSE.
+    K = 4
+
+    def _K(fn):
+        @jax.jit
+        def wrapped(u, delta, A, Bc, Cc, D, z):
+            acc = 0.0
+            for _ in range(K):
+                out = fn(u + acc * 1e-20, delta, A, Bc, Cc, D, z)
+                leaf = out[0] if isinstance(out, tuple) else out
+                acc = jnp.sum(leaf[0, 0])
+            return acc
+        return wrapped
+
+    t_xla = _timeit(_K(lambda *a: selective_scan(*a, chunk=args.chunk)),
+                    u, delta, A, Bc, Cc, D, z, iters=args.iters) / K
+    t_pal = _timeit(
+        _K(lambda *a: selective_scan_pallas(*a, chunk=args.chunk)),
+        u, delta, A, Bc, Cc, D, z, iters=args.iters) / K
     print(f'fwd   XLA {t_xla*1e3:8.2f} ms   Pallas {t_pal*1e3:8.2f} ms '
           f'  speedup {t_xla/t_pal:.2f}x')
 
@@ -92,8 +110,11 @@ def main():
                   / (jnp.max(jnp.abs(a)) + 1e-9))
         print(f'grad {name}: rel err {e:.2e}')
 
-    t_gx = _timeit(gx, u, delta, A, Bc, Cc, D, z, iters=args.iters)
-    t_gp = _timeit(gp, u, delta, A, Bc, Cc, D, z, iters=args.iters)
+    g7 = tuple(range(7))
+    t_gx = _timeit(_K(lambda *a: jax.grad(loss_xla, argnums=g7)(*a)),
+                   u, delta, A, Bc, Cc, D, z, iters=args.iters) / K
+    t_gp = _timeit(_K(lambda *a: jax.grad(loss_pal, argnums=g7)(*a)),
+                   u, delta, A, Bc, Cc, D, z, iters=args.iters) / K
     print(f'grad  XLA {t_gx*1e3:8.2f} ms   Pallas {t_gp*1e3:8.2f} ms '
           f'  speedup {t_gx/t_gp:.2f}x')
 
