@@ -158,7 +158,10 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             num_classes=num_classes,
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
-                           else jnp.float32))
+                           else jnp.float32),
+            pallas_attention=mc.get('pallas_attention', 'auto'),
+            fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
+            tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'))
         model = DIT(cfg)
         return model, cfg, make_model_apply(model)
     if backbone == 'dimamba':
@@ -233,7 +236,10 @@ def build_classifier_model(config: Config, spec):
             use_adaLN=spec.parameterization != 'ar',
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
-                           else jnp.float32))
+                           else jnp.float32),
+            pallas_attention=mc.get('pallas_attention', 'auto'),
+            fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
+            tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'))
         model = DITClassifier(cfg, num_classes=num_classes,
                               pooling=pooling)
         return model, cfg, make_classifier_apply(model)

@@ -64,6 +64,16 @@ class DITConfig:
     # per-head (256x64x256) dots underuse the MXU — so 'auto'
     # resolves to OFF; True opts in (values bit-match either way).
     fused_rope_attn: 'str | bool' = 'auto'
+    # In-tree production Pallas TPU flash attention
+    # (jax.experimental.pallas.ops.tpu.flash_attention): online-softmax
+    # fwd+bwd kernels that never write the (B, H, L, L) probs tensor to
+    # HBM — the TPU counterpart of the reference's
+    # F.scaled_dot_product_attention flash path (models/dit.py:304-307).
+    # Requires a real TPU (no interpret mode) and L a multiple of the
+    # 128 block; 'auto' resolves OFF (XLA wins at DiT's short L —
+    # measured on v5e at B=256 L=256 H=12 D=64, see
+    # scripts/bench_attention_flash.py); True opts in for long-L runs.
+    tpu_flash_attn: 'str | bool' = 'auto'
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -169,7 +179,20 @@ class DDiTBlock(nn.Module):
         use_pallas = (cfg.pallas_attention
                       if isinstance(cfg.pallas_attention, bool)
                       else False)
-        if use_fused_rope:
+        use_tpu_flash = (cfg.tpu_flash_attn
+                         if isinstance(cfg.tpu_flash_attn, bool)
+                         else False)
+        if use_tpu_flash:
+            from jax.experimental.pallas.ops.tpu import (
+                flash_attention as _fa)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            # kernel layout is (B, H, L, D)
+            o = _fa.flash_attention(
+                q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+                causal=cfg.causal, sm_scale=1.0 / math.sqrt(head_dim))
+            attn = o.swapaxes(1, 2)
+        elif use_fused_rope:
             from ddg_tpu.ops.attention_pallas import \
                 fused_rope_attention
             attn = fused_rope_attention(q, k, v, cos, sin,

@@ -515,3 +515,29 @@ class TestARFudgeAndGenPPL:
         assert np.isfinite(result['unigram_entropy'])
         assert np.isfinite(result['generative_ppl_ar_judge'])
         assert result['generative_ppl_ar_judge'] > 0
+
+
+class TestAttentionKnobSurface:
+    """model.{pallas_attention,fused_rope_attn,tpu_flash_attn} reach
+    DITConfig from YAML/CLI (the in-tree TPU flash kernel has no
+    interpret mode, so only the plumbing is testable on CPU; on-chip
+    numerics + A/B: scripts/bench_attention_flash.py --check)."""
+
+    def test_knobs_reach_dit_config(self, tmp_path):
+        config = _tiny_config(tmp_path, extra=(
+            '+model.tpu_flash_attn=True', '+model.pallas_attention=False'))
+        from ddg_tpu.data.tokenizers import get_tokenizer
+        tok = get_tokenizer('text8')
+        spec = M.build_diffusion_spec(config, tok)
+        _, mcfg, _ = M.build_model(config, spec)
+        assert mcfg.tpu_flash_attn is True
+        assert mcfg.pallas_attention is False
+        assert mcfg.fused_rope_attn == 'auto'
+
+    def test_default_is_auto(self, tmp_path):
+        config = _tiny_config(tmp_path)
+        from ddg_tpu.data.tokenizers import get_tokenizer
+        tok = get_tokenizer('text8')
+        spec = M.build_diffusion_spec(config, tok)
+        _, mcfg, _ = M.build_model(config, spec)
+        assert mcfg.tpu_flash_attn == 'auto'
