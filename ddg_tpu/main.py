@@ -1058,6 +1058,9 @@ def gen_ppl_eval(config: Config) -> dict:
     if out_path:
         with open(out_path, 'w') as f:
             json.dump(result, f)
+    LOGGER.info('gen-ppl eval: ' + '  '.join(
+        f'{k}={v:.4f}' for k, v in result.items()
+        if isinstance(v, (int, float))))
     return result
 
 

@@ -343,6 +343,13 @@ class DITClassifier(nn.Module):
             if cfg.causal:
                 c = None
             else:
+                # Clean-sequence (eval) classifiers condition on
+                # sigma=0 — the reference zeroes sigma when time
+                # conditioning is off (classifier.py:484-489) and its
+                # eval classifiers skip sigma entirely
+                # (classifier.py:306-308).
+                if sigma is None:
+                    sigma = jnp.zeros((x.shape[0],), jnp.float32)
                 c = nn.silu(TimestepEmbedder(cfg.cond_dim,
                                              name='sigma_map')(sigma))
                 c = c.astype(cfg.compute_dtype)

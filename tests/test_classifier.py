@@ -246,3 +246,22 @@ def test_frozen_keys_zero_grads():
             assert same, f'{k} should be frozen'
         elif k != 'sigma_map':  # zero grad at init (zero-init adaLN)
             assert not same, f'{k} should train'
+
+
+class TestEvalClassifierNoSigma:
+    """Clean-sequence (eval) classifiers call the DiT backbone with
+    sigma=None; the backbone conditions on sigma=0, matching the
+    reference's zeroed sigma under no time conditioning
+    (classifier.py:484-489) and its sigma-free eval-classifier path
+    (classifier.py:306-308)."""
+
+    def test_sigma_none_equals_sigma_zero(self):
+        clf = DITClassifier(CLF_CFG, num_classes=NC)
+        x = jax.random.randint(KEY, (B, L), 0, V)
+        params = clf.init(KEY, x, None)['params']
+        out_none = clf.apply({'params': params}, x, None)
+        out_zero = clf.apply({'params': params}, x,
+                             jnp.zeros((B,), jnp.float32))
+        assert out_none.shape == (B, NC)
+        np.testing.assert_allclose(np.asarray(out_none),
+                                   np.asarray(out_zero), rtol=1e-6)
