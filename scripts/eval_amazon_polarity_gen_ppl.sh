@@ -7,4 +7,4 @@ python -m ddg_tpu.main \
   mode=gen_ppl_eval data=amazon_polarity model=small model.length=128 \
   sampling.steps="${SAMPLING_STEPS:-128}" \
   eval.checkpoint_path="$CKPT" \
-  +eval.generative_ppl_model_name_or_path=gpt2-large "$@"
+  +eval.generative_ppl_model_name_or_path="${GEN_PPL_JUDGE:-gpt2-large}" "$@"

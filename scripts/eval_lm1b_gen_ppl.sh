@@ -6,4 +6,4 @@ python -m ddg_tpu.main \
   mode=gen_ppl_eval data=lm1b model=small model.length=128 \
   sampling.steps=1000 \
   eval.checkpoint_path="$CKPT" \
-  +eval.generative_ppl_model_name_or_path=gpt2-large "$@"
+  +eval.generative_ppl_model_name_or_path="${GEN_PPL_JUDGE:-gpt2-large}" "$@"
