@@ -1092,6 +1092,9 @@ def sample_eval(config: Config) -> dict:
     if out_path:
         with open(out_path, 'w') as f:
             json.dump(result, f)
+    LOGGER.info(f'sampled {len(texts)} sequences, unigram_entropy='
+                f'{result["unigram_entropy"]:.4f}; first: '
+                f'{texts[0][:120] if texts else ""!r}')
     return result
 
 
@@ -1103,6 +1106,7 @@ def lengths_eval(config: Config) -> dict:
         cfg = Config(config.to_dict())
         cfg.model['length'] = int(length)
         results[int(length)] = ppl_eval(cfg)
+    LOGGER.info(f'lengths_eval: {results}')
     return results
 
 
