@@ -161,7 +161,10 @@ def build_model(config: Config, spec: DiffusionSpec, *,
                            else jnp.float32),
             pallas_attention=mc.get('pallas_attention', 'auto'),
             fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
-            tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'))
+            tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'),
+            tensor_axis=('tensor' if _tensor_devices(config) > 1
+                         else None),
+            tp_mode=_tp_mode(config))
         model = DIT(cfg)
         return model, cfg, make_model_apply(model)
     if backbone == 'dimamba':
@@ -354,13 +357,40 @@ def build_data(config: Config, *, synthetic: Optional[bool] = None):
     raise NotImplementedError(f'Dataset {name} not implemented.')
 
 
+def _tensor_devices(config: Config) -> int:
+    st = config.get('strategy')
+    if st is None:
+        return 1
+    return max(1, int(st.get('tensor_devices', 1) or 1))
+
+
+def _tp_mode(config: Config) -> str:
+    st = config.get('strategy')
+    if st is None:
+        return 'heads'
+    mode = str(st.get('tp_mode', 'heads') or 'heads')
+    assert mode in ('heads', 'sequence'), f'unknown tp_mode {mode!r}'
+    return mode
+
+
+def _pipe_devices(config: Config) -> int:
+    st = config.get('strategy')
+    if st is None:
+        return 1
+    return max(1, int(st.get('pipe_devices', 1) or 1))
+
+
 def build_mesh(config: Config):
     n = jax.device_count()
     fsdp = 1
     if config.get('strategy') is not None \
             and config.strategy.get('name') == 'fsdp':
         fsdp = min(int(config.strategy.get('fsdp_devices', n)), n)
-    return mesh_lib.make_mesh(num_data=n // fsdp, num_fsdp=fsdp)
+    tensor = min(_tensor_devices(config), n)
+    pipe = min(_pipe_devices(config), n)
+    return mesh_lib.make_mesh(num_data=n // (fsdp * tensor * pipe),
+                              num_fsdp=fsdp, num_tensor=tensor,
+                              num_pipe=pipe)
 
 
 def build_guidance_spec(config: Config) -> Optional[GuidanceSpec]:
@@ -509,11 +539,24 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                    for p in jax.tree.leaves(params))
     LOGGER.info(f'Model parameters: {n_params / 1e6:.2f}M')
 
+    if dict(mesh.shape).get('pipe', 1) > 1:
+        # GPipe over stacked DDiT blocks (strategy=pp,
+        # parallel/pipeline.py); checkpoints store the stacked layout
+        # (from_pipeline_params converts back for single-device use).
+        from ddg_tpu.parallel.pipeline import (make_pipeline_apply,
+                                               to_pipeline_params)
+        assert str(config.backbone) == 'dit', (
+            'pipeline parallelism supports the DiT backbone')
+        n_micro = int(config.strategy.get('pipe_microbatches', 4))
+        apply_fn = make_pipeline_apply(model_cfg, mesh, n_micro=n_micro)
+        params = to_pipeline_params(params, model_cfg.n_blocks)
+
     state = init_train_state(state_rng, params, optim_spec, avg_spec)
     train_step = make_train_step(spec, apply_fn, optim_spec, avg_spec,
                                  accum_steps=accum)
     jitted, place_state, place_batch = mesh_lib.shard_train_step(
-        mesh, train_step, state, example)
+        mesh, train_step, state, example,
+        tensor_rules=_tp_mode(config) == 'heads')
     state = place_state(state)
 
     save_dir = os.path.join(str(config.checkpointing.save_dir),
@@ -995,7 +1038,32 @@ def _restore_for_eval(config: Config):
     if path:
         name = os.path.basename(path.rstrip('/'))
         ckpt = CheckpointManager(os.path.dirname(path.rstrip('/')))
-        state, _ = ckpt.restore(name, state)
+        if _pipe_devices(config) > 1 and str(config.backbone) == 'dit':
+            # strategy=pp checkpoints store the stacked-block layout
+            # (parallel/pipeline.py): restore against a pp-shaped
+            # template, then unstack params + EMA shadow so every
+            # eval/sampling path runs the ordinary unpipelined model.
+            import dataclasses as _dc
+
+            from ddg_tpu.parallel.pipeline import (from_pipeline_params,
+                                                   to_pipeline_params)
+            nb = model_cfg.n_blocks
+            template = init_train_state(
+                rng, to_pipeline_params(params, nb), optim_spec,
+                avg_spec)
+            pp_state, _ = ckpt.restore(name, template)
+            avg_state = pp_state.averaging
+            if avg_state is not None:
+                avg_state = _dc.replace(
+                    avg_state, shadow_params=from_pipeline_params(
+                        avg_state.shadow_params, nb))
+            # opt_state stays stacked — eval paths never touch it.
+            state = _dc.replace(
+                pp_state,
+                params=from_pipeline_params(pp_state.params, nb),
+                averaging=avg_state)
+        else:
+            state, _ = ckpt.restore(name, state)
     return tokenizer, spec, apply_fn, state, model_cfg
 
 

@@ -74,6 +74,26 @@ class DITConfig:
     # measured on v5e at B=256 L=256 H=12 D=64, see
     # scripts/bench_attention_flash.py); True opts in for long-L runs.
     tpu_flash_attn: 'str | bool' = 'auto'
+    # Megatron-style tensor parallelism (beyond the reference): name of
+    # the mesh axis to shard attention heads + MLP hidden over. When
+    # set, blocks emit with_sharding_constraint hints (bare
+    # PartitionSpec — the jit call must run under a `with mesh:`
+    # context, which parallel.mesh.shard_train_step provides) and
+    # parallel.mesh.TENSOR_PARAM_RULES shard the matching kernels; XLA
+    # inserts the per-block psum pair. Uses XLA attention (the Pallas
+    # kernels are opaque custom calls GSPMD cannot partition).
+    tensor_axis: Optional[str] = None
+    # What the 'tensor' axis splits: 'heads' (Megatron TP — attention
+    # heads + MLP hidden sharded, params split by
+    # parallel.mesh.TENSOR_PARAM_RULES, psum pair per block) or
+    # 'sequence' (context parallel — activations sharded over L,
+    # params replicated/fsdp; XLA all-gathers K/V for attention so
+    # each device computes its L-shard of outputs; use for long-L
+    # workloads where activations, not params, are the HBM bound).
+    tp_mode: str = 'heads'
+    # Mesh axis carrying the batch shard, used only in the tensor-
+    # parallel activation constraints so they don't wipe data sharding.
+    batch_axis: str = 'data'
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -141,6 +161,17 @@ def modulate(x, shift, scale):
     return x * (1 + scale[:, None]) + shift[:, None]
 
 
+def _tp_constrain(x, *spec):
+    """with_sharding_constraint that no-ops outside a mesh context
+    (e.g. during model.init): a bare PartitionSpec needs `with mesh:`
+    at trace time, which parallel.mesh.shard_train_step provides."""
+    try:
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.PartitionSpec(*spec))
+    except RuntimeError:
+        return x
+
+
 class DDiTBlock(nn.Module):
     cfg: DITConfig
 
@@ -173,6 +204,21 @@ class DDiTBlock(nn.Module):
         head_dim = dim // cfg.n_heads
         qkv = qkv.reshape(B, L, 3, cfg.n_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cfg.tensor_axis and cfg.tp_mode == 'heads':
+            q = _tp_constrain(q, cfg.batch_axis, None,
+                              cfg.tensor_axis, None)
+            k = _tp_constrain(k, cfg.batch_axis, None,
+                              cfg.tensor_axis, None)
+            v = _tp_constrain(v, cfg.batch_axis, None,
+                              cfg.tensor_axis, None)
+        elif cfg.tensor_axis and cfg.tp_mode == 'sequence':
+            # Q stays L-sharded; K/V replicated over L (XLA inserts
+            # the all-gather) so each device attends its L-shard of
+            # queries against the full sequence.
+            q = _tp_constrain(q, cfg.batch_axis, cfg.tensor_axis,
+                              None, None)
+            k = _tp_constrain(k, cfg.batch_axis, None, None, None)
+            v = _tp_constrain(v, cfg.batch_axis, None, None, None)
         use_fused_rope = (cfg.fused_rope_attn
                           if isinstance(cfg.fused_rope_attn, bool)
                           else False)
@@ -208,6 +254,12 @@ class DDiTBlock(nn.Module):
             attn = jax.nn.dot_product_attention(
                 q, k, v, is_causal=cfg.causal)
         attn = attn.reshape(B, L, dim)
+        if cfg.tensor_axis and cfg.tp_mode == 'heads':
+            attn = _tp_constrain(attn, cfg.batch_axis, None,
+                                 cfg.tensor_axis)
+        elif cfg.tensor_axis and cfg.tp_mode == 'sequence':
+            attn = _tp_constrain(attn, cfg.batch_axis,
+                                 cfg.tensor_axis, None)
         h = nn.Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         if use_adaLN:
@@ -221,11 +273,20 @@ class DDiTBlock(nn.Module):
             h = modulate(h, shift_mlp, scale_mlp)
         h = nn.Dense(4 * dim, use_bias=True, dtype=dt, name='mlp_in')(h)
         h = nn.gelu(h, approximate=True)
+        if cfg.tensor_axis and cfg.tp_mode == 'heads':
+            h = _tp_constrain(h, cfg.batch_axis, None, cfg.tensor_axis)
+        elif cfg.tensor_axis and cfg.tp_mode == 'sequence':
+            h = _tp_constrain(h, cfg.batch_axis, cfg.tensor_axis, None)
         h = nn.Dense(dim, use_bias=True, dtype=dt, name='mlp_out')(h)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         if use_adaLN:
             h = gate_mlp[:, None] * h
-        return x_skip + h
+        out = x_skip + h
+        if cfg.tensor_axis and cfg.tp_mode == 'sequence':
+            # Pin the residual stream L-sharded between blocks.
+            out = _tp_constrain(out, cfg.batch_axis, cfg.tensor_axis,
+                                None)
+        return out
 
 
 class TimestepEmbedder(nn.Module):

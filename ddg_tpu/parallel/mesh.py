@@ -2,7 +2,7 @@
 
 Replaces the reference's DDP/FSDP Lightning strategies
 (/root/reference/configs/strategy/{ddp,fsdp}.yaml, SURVEY §2.8) with a
-2-D `jax.sharding.Mesh` ('data', 'fsdp'):
+4-D `jax.sharding.Mesh` ('data', 'fsdp', 'tensor', 'pipe'):
 
   * data parallel  — batches sharded over 'data'; because the loss is a
     global mean inside one jitted program, XLA inserts the gradient
@@ -11,12 +11,29 @@ Replaces the reference's DDP/FSDP Lightning strategies
     state sharded over 'fsdp' on their largest divisible axis; XLA
     inserts all-gathers for forward/backward and keeps optimizer
     updates sharded (reduce-scatter), matching FSDPStrategy semantics.
+  * tensor parallel (beyond the reference, Megatron-style) — DiT
+    attention heads and MLP hidden sharded over 'tensor'
+    (TENSOR_PARAM_RULES below + the activation constraints
+    models/dit.py emits when DITConfig.tensor_axis is set); XLA inserts
+    the per-block psum pair over ICI.
+  * sequence/context parallel (DITConfig.tp_mode='sequence') — the
+    same 'tensor' axis shards ACTIVATIONS over L instead (params
+    replicated/fsdp, tensor_rules=False here); XLA all-gathers K/V per
+    attention so each device computes its L-shard. For long-L
+    workloads where activations are the HBM bound.
+  * pipeline parallel (parallel/pipeline.py, GPipe) — stacked DDiT
+    blocks sharded over 'pipe' (leading block axis, rule below);
+    activations hop stages via lax.ppermute inside shard_map, the
+    schedule is one lax.scan.
 
-Everything is sharding-annotation driven: compute code never changes.
+Everything is sharding-annotation driven: compute code never changes
+(the one exception: DiT emits with_sharding_constraint hints under
+tensor parallelism, no-ops otherwise).
 """
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import jax
@@ -27,15 +44,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(num_data: Optional[int] = None, num_fsdp: int = 1,
+              num_tensor: int = 1, num_pipe: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if num_data is None:
-        num_data = len(devices) // num_fsdp
-    assert num_data * num_fsdp == len(devices), (
-        f'mesh {num_data}x{num_fsdp} != {len(devices)} devices')
+        num_data = len(devices) // (num_fsdp * num_tensor * num_pipe)
+    assert num_data * num_fsdp * num_tensor * num_pipe == len(devices), (
+        f'mesh {num_data}x{num_fsdp}x{num_tensor}x{num_pipe} != '
+        f'{len(devices)} devices')
     dev_array = mesh_utils.create_device_mesh(
-        (num_data, num_fsdp), devices=devices)
-    return Mesh(dev_array, ('data', 'fsdp'))
+        (num_data, num_fsdp, num_tensor, num_pipe), devices=devices)
+    return Mesh(dev_array, ('data', 'fsdp', 'tensor', 'pipe'))
+
+
+# Megatron-style sharding for the DiT block params (matched against the
+# '/'-joined param path, which optimizer/EMA mirrors share). attn_qkv
+# stays replicated/fsdp: its fused output dim is (3, heads, head_dim)
+# flattened, which 'tensor' cannot split contiguously; XLA slices it at
+# the use point from the head-sharded activation constraint instead.
+TENSOR_PARAM_RULES = (
+    (re.compile(r'/attn_out/kernel$'), P('tensor', None)),
+    (re.compile(r'/mlp_in/kernel$'), P(None, 'tensor')),
+    (re.compile(r'/mlp_in/bias$'), P('tensor')),
+    (re.compile(r'/mlp_out/kernel$'), P('tensor', None)),
+)
+
+
+def tensor_param_pspec(path: str, shape) -> Optional[P]:
+    for rx, spec in TENSOR_PARAM_RULES:
+        if rx.search(path):
+            if len(spec) != len(shape):
+                return None
+            return spec
+    return None
 
 
 def batch_pspec() -> P:
@@ -60,17 +101,40 @@ def param_pspec(shape, fsdp_size: int, min_size: int = 2 ** 14) -> P:
     return P(*spec)
 
 
-def state_shardings(mesh: Mesh, state, min_size: int = 2 ** 14):
-    """NamedShardings for a TrainState-like pytree: arrays matching the
-    param rule get fsdp sharding; scalars/rng replicated."""
+def state_shardings(mesh: Mesh, state, min_size: int = 2 ** 14,
+                    tensor_rules: bool = True):
+    """NamedShardings for a TrainState-like pytree: arrays matching a
+    tensor-parallel rule get tensor sharding, others the fsdp rule;
+    scalars/rng replicated. Optimizer moments and EMA shadows mirror
+    the param tree structure, so the path rules cover them too.
+    tensor_rules=False skips the TP param rules (sequence/context
+    parallelism: the tensor axis shards activations over L, params
+    stay replicated/fsdp)."""
     fsdp_size = mesh.shape['fsdp']
+    tensor_size = dict(mesh.shape).get('tensor', 1)
 
-    def leaf_sharding(x):
+    pipe_size = dict(mesh.shape).get('pipe', 1)
+
+    def leaf_sharding(path, x):
         shape = getattr(x, 'shape', ())
+        pstr = '/' + '/'.join(
+            str(getattr(k, 'key', getattr(k, 'name', k)))
+            for k in path)
+        if (pipe_size > 1 and '/pipeline_blocks/' in pstr
+                and len(shape) >= 1 and shape[0] % pipe_size == 0):
+            # Stacked DDiT blocks: leading axis = block index, one
+            # contiguous slab of blocks per pipeline stage.
+            return NamedSharding(mesh, P('pipe'))
+        if tensor_rules and tensor_size > 1:
+            spec = tensor_param_pspec(pstr, shape)
+            if spec is not None and all(
+                    d % tensor_size == 0 for d, a in zip(shape, spec)
+                    if a == 'tensor'):
+                return NamedSharding(mesh, spec)
         return NamedSharding(mesh, param_pspec(shape, fsdp_size,
                                                min_size=min_size))
 
-    return jax.tree.map(leaf_sharding, state)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
 
 def batch_shardings(mesh: Mesh, batch):
@@ -82,13 +146,14 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_train_step(mesh: Mesh, train_step, state, batch):
+def shard_train_step(mesh: Mesh, train_step, state, batch,
+                     tensor_rules: bool = True):
     """jit the train step with explicit in/out shardings.
 
     Returns (jitted_step, sharded_state, place_batch) where place_batch
     moves a host batch onto the mesh.
     """
-    st_sh = state_shardings(mesh, state)
+    st_sh = state_shardings(mesh, state, tensor_rules=tensor_rules)
     b_sh = batch_shardings(mesh, batch)
     metric_sh = replicated(mesh)
 
@@ -96,11 +161,24 @@ def shard_train_step(mesh: Mesh, train_step, state, batch):
     # Donating the input state lets XLA alias params/opt/EMA buffers
     # in-place instead of allocating+copying the full state every step
     # (~4x params bytes: params + 2 Adam moments + EMA shadow).
-    jitted = jax.jit(
+    jitted_raw = jax.jit(
         train_step,
         in_shardings=(st_sh, b_sh),
         out_shardings=(st_sh, metric_sh),
         donate_argnums=(0,))
+
+    def jitted(state, batch):
+        # Trace/execute under the mesh context so bare-PartitionSpec
+        # with_sharding_constraint hints inside the model (tensor
+        # parallelism, models/dit.py) resolve axis names.
+        with mesh:
+            return jitted_raw(state, batch)
+
+    # expose lower/compile for cost-analysis probes (__graft_entry__)
+    def _lower(state, batch):
+        with mesh:
+            return jitted_raw.lower(state, batch)
+    jitted.lower = _lower
 
     def place_state(s):
         # Deep copy, not just placement: device_put is a no-op for a

@@ -47,6 +47,38 @@ def trained(tmp_path_factory):
     return tmp_path, config, state
 
 
+class TestParallelStrategies:
+    def test_train_pp_from_config(self, tmp_path):
+        # strategy=pp: GPipe over the DiT blocks from the config
+        # surface alone; checkpoints store the stacked layout.
+        cfg = _tiny_config(tmp_path, extra=[
+            'strategy=pp', 'strategy.pipe_devices=2',
+            'strategy.pipe_microbatches=2'])
+        state = M.train(cfg)
+        assert int(state.step) == 8
+        assert 'pipeline_blocks' in state.params
+        # ppl_eval restores the stacked checkpoint and unstacks it for
+        # the ordinary eval path.
+        ecfg = _tiny_config(tmp_path, extra=[
+            'strategy=pp', 'strategy.pipe_devices=2',
+            'strategy.pipe_microbatches=2', 'mode=ppl_eval',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last'])
+        ppl = M.ppl_eval(ecfg)
+        assert np.isfinite(ppl) and ppl > 1
+
+    def test_train_tp_from_config(self, tmp_path):
+        cfg = _tiny_config(tmp_path, extra=[
+            'strategy=tp', 'strategy.tensor_devices=2'])
+        state = M.train(cfg)
+        assert int(state.step) == 8
+
+    def test_train_sp_from_config(self, tmp_path):
+        cfg = _tiny_config(tmp_path, extra=[
+            'strategy=sp', 'strategy.tensor_devices=2'])
+        state = M.train(cfg)
+        assert int(state.step) == 8
+
+
 class TestTrainE2E:
     def test_train_runs_and_checkpoints(self, trained):
         tmp_path, config, state = trained

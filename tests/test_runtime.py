@@ -165,6 +165,60 @@ class TestTrainStep:
         np.testing.assert_allclose(float(metrics['loss']),
                                    float(metrics1['loss']), rtol=1e-4)
 
+    def test_tensor_parallel_train_step_8dev(self):
+        # Megatron-style TP (data=2, fsdp=2, tensor=2): loss parity vs
+        # single-device, and the TP param rules actually shard kernels.
+        mesh = mesh_lib.make_mesh(num_data=2, num_fsdp=2, num_tensor=2)
+        cfg = dataclasses.replace(MODEL_CFG, tensor_axis='tensor')
+        model = DIT(cfg)
+        x = jax.random.randint(KEY, (B, L), 0, V)
+        params = model.init(KEY, x, jnp.ones((B,)))['params']
+        apply_fn = make_model_apply(model)
+        optim = OptimSpec(lr=1e-2, num_warmup_steps=0)
+        avg = AveragingSpec.ema(0.99)
+        state = init_train_state(KEY, params, optim, avg)
+        train_step = make_train_step(SPEC, apply_fn, optim, avg)
+        batch = self._batch()
+        jitted, place_state, place_batch = mesh_lib.shard_train_step(
+            mesh, train_step, state, batch)
+        sh = mesh_lib.state_shardings(mesh, state, min_size=0)
+        specs = [str(s.spec) for s in jax.tree.leaves(sh)]
+        assert any('tensor' in s for s in specs)
+        pstate, metrics = jitted(place_state(state), place_batch(batch))
+        state1 = init_train_state(KEY, params, optim, avg)
+        _, metrics1 = jax.jit(train_step)(state1, self._batch())
+        np.testing.assert_allclose(float(metrics['loss']),
+                                   float(metrics1['loss']), rtol=1e-4)
+        # step applies: params moved identically (spot-check one leaf)
+        l0 = jax.tree.leaves(pstate.params)[0]
+        l1 = jax.tree.leaves(state1.params)[0]
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   atol=1e-4)
+
+    def test_sequence_parallel_train_step_8dev(self):
+        # Context parallelism: activations sharded over L on the
+        # tensor axis (params replicated/fsdp). Loss parity vs
+        # single-device.
+        mesh = mesh_lib.make_mesh(num_data=2, num_fsdp=1, num_tensor=4)
+        cfg = dataclasses.replace(MODEL_CFG, tensor_axis='tensor',
+                                  tp_mode='sequence')
+        model = DIT(cfg)
+        x = jax.random.randint(KEY, (B, L), 0, V)
+        params = model.init(KEY, x, jnp.ones((B,)))['params']
+        apply_fn = make_model_apply(model)
+        optim = OptimSpec(lr=1e-2, num_warmup_steps=0)
+        avg = AveragingSpec.ema(0.99)
+        state = init_train_state(KEY, params, optim, avg)
+        train_step = make_train_step(SPEC, apply_fn, optim, avg)
+        batch = self._batch()
+        jitted, place_state, place_batch = mesh_lib.shard_train_step(
+            mesh, train_step, state, batch, tensor_rules=False)
+        _, metrics = jitted(place_state(state), place_batch(batch))
+        state1 = init_train_state(KEY, params, optim, avg)
+        _, metrics1 = jax.jit(train_step)(state1, self._batch())
+        np.testing.assert_allclose(float(metrics['loss']),
+                                   float(metrics1['loss']), rtol=1e-4)
+
     def test_fsdp_actually_shards(self):
         mesh = mesh_lib.make_mesh(num_data=2, num_fsdp=4)
         apply_fn, params = _setup()
