@@ -405,7 +405,10 @@ def build_guidance_spec(config: Config) -> Optional[GuidanceSpec]:
         topk=int(g.get('topk', 50)),
         num_nos_steps=int(g.get('num_nos_steps', 1)),
         nos_step_size=float(g.get('nos_step_size', 0.1)),
-        nos_stability_coef=float(g.get('nos_stability_coef', 0.01)))
+        nos_stability_coef=float(g.get('nos_stability_coef', 0.01)),
+        num_pplm_steps=int(g.get('num_pplm_steps', 1)),
+        pplm_step_size=float(g.get('pplm_step_size', 0.1)),
+        pplm_stability_coef=float(g.get('pplm_stability_coef', 0.01)))
 
 
 def build_sampler_spec(config: Config) -> SamplerSpec:

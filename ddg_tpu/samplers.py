@@ -101,6 +101,15 @@ class GuidanceSpec:
     nos_step_size: float = 0.1
     nos_stability_coef: float = 0.01
     cbg_chunk: int = 256             # edits per classifier chunk (exact cbg)
+    # AR PPLM (configs/guidance/pplm.yaml). The reference declares the
+    # config surface but stubs the sampler (diffusion.py:1269-1279);
+    # here it is implemented (beyond reference): Adagrad ascent on a
+    # trunk hidden-state delta at each decode step — the NOS recipe
+    # (diffusion.py:1626-1736) applied to AR decoding, with the
+    # stability term as a KL leash on the next-token distribution.
+    num_pplm_steps: int = 1
+    pplm_step_size: float = 0.1
+    pplm_stability_coef: float = 0.01
 
 
 def _sample_dtype(sampler: SamplerSpec):
@@ -785,9 +794,68 @@ def ar_sample(spec: DiffusionSpec, sampler: SamplerSpec, model_apply,
             y = jnp.take_along_axis(top_idx, choice[:, None],
                                     axis=1).squeeze(1)
         elif method == 'pplm':
-            raise NotImplementedError(
-                'PPLM for AR is unimplemented in the reference '
-                '(diffusion.py:1269-1279) and here.')
+            # PPLM-style plug-and-play guidance (beyond reference: the
+            # reference stubs _ar_pplm_denoise, diffusion.py:1269-1279).
+            # Adagrad-ascend a delta on the trunk hidden states so the
+            # attribute classifier (attention_mean over the prefix)
+            # favors guidance.condition, with a KL leash on the
+            # next-token distribution; then decode from the perturbed
+            # hidden via the x_emb head hook.
+            logits, hidden = model_apply(
+                params, x, None, None, None, train=False, rng=None,
+                return_hidden_states=True)
+            base_lp = jax.nn.log_softmax(
+                jax.lax.dynamic_index_in_dim(
+                    logits.astype(jnp.float32), i, axis=1,
+                    keepdims=False), axis=-1)
+            # Prefix mask: positions 0..i are real context.
+            prefix = (jnp.arange(x.shape[1]) <= i).astype(jnp.float32)
+            prefix = jnp.broadcast_to(prefix[None, :],
+                                      (batch_size, x.shape[1]))
+
+            def pplm_loss(delta):
+                h = hidden + delta
+                clf_logits = classifier_apply(
+                    classifier_params, x, None, x_emb=h,
+                    attention_mask=prefix)
+                target = jax.nn.log_softmax(clf_logits, axis=-1)[
+                    ..., guidance.condition].sum()
+                new_logits = model_apply(params, x, None, None, h,
+                                         train=False, rng=None)
+                new_lp = jax.nn.log_softmax(
+                    jax.lax.dynamic_index_in_dim(
+                        new_logits.astype(jnp.float32), i, axis=1,
+                        keepdims=False), axis=-1)
+                kl = (jnp.exp(base_lp)
+                      * (base_lp - new_lp)).sum() / batch_size
+                return -target + guidance.pplm_stability_coef * kl
+
+            grad_fn = jax.grad(pplm_loss)
+
+            def adagrad_body(_, state):
+                delta, acc = state
+                g = grad_fn(delta)
+                acc = acc + g * g
+                delta = delta - guidance.pplm_step_size * g / (
+                    jnp.sqrt(acc) + 1e-10)
+                return delta, acc
+
+            zeros = jnp.zeros_like(hidden)
+            delta, _ = jax.lax.fori_loop(
+                0, guidance.num_pplm_steps, adagrad_body,
+                (zeros, zeros))
+            guided_logits = model_apply(params, x, None, None,
+                                        hidden + delta, train=False,
+                                        rng=None)
+            next_lp = jax.nn.log_softmax(
+                jax.lax.dynamic_index_in_dim(
+                    guided_logits.astype(jnp.float32), i, axis=1,
+                    keepdims=False), axis=-1).astype(
+                _sample_dtype(sampler))
+            y = S.sample_token(
+                next_lp, gumbel[:, i],
+                low_confidence_sampling=sampler.low_confidence_sampling,
+                low_confidence_threshold=sampler.low_confidence_threshold)
         else:
             raise NotImplementedError(
                 f'Guidance method {method} not implemented.')
