@@ -173,7 +173,9 @@ def bench_sampling(args, first_hitting):
     if args.quick:
         batch, steps = 4, 16
     sampler = SamplerSpec(steps=steps, use_cache=bool(args.cache),
-                          fused=fused, first_hitting=first_hitting)
+                          fused=fused, first_hitting=first_hitting,
+                          fused_head=bool(getattr(args, 'fused_head',
+                                                  False)))
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
     cond = jnp.zeros((batch,), jnp.int32)
 
@@ -468,6 +470,10 @@ def main():
                    help='enable the MDLM NFE cache (loses at B>=24)')
     p.add_argument('--fused', action='store_true', default=None)
     p.add_argument('--no-fused', dest='fused', action='store_false')
+    p.add_argument('--fused-head', dest='fused_head',
+                   action='store_true',
+                   help='fold the vocab projection into the sampling '
+                        'kernel (ancestral; A/B vs plain --ancestral)')
     # workload selectors (default: full suite)
     p.add_argument('--first-hitting', action='store_true')
     p.add_argument('--ancestral', action='store_true')

@@ -426,7 +426,8 @@ def build_sampler_spec(config: Config) -> SamplerSpec:
         # first-hitting sampling (exact T->infty limit, L NFEs) and the
         # fused Pallas denoise-step kernel.
         first_hitting=bool(config.sampling.get('first_hitting', False)),
-        fused=bool(config.sampling.get('fused', False)))
+        fused=bool(config.sampling.get('fused', False)),
+        fused_head=bool(config.sampling.get('fused_head', False)))
 
 
 def build_optim_spec(config: Config) -> OptimSpec:

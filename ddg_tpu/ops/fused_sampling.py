@@ -440,3 +440,190 @@ def fused_uniform_cfg_sample(seed, xt, logits_cond, logits_uncond,
                          [jnp.asarray([gamma], jnp.float32)],
                          tile_l=tile_l, interpret=interpret,
                          gumbel=gumbel)
+
+
+# ---------------------------------------------------------------------------
+# Head-fused absorbing kernel: the vocab projection ITSELF runs inside
+# the sampling kernel, so the (B, L, V) logits tensor never exists in
+# HBM (the reference materializes it every step, diffusion.py:1378-1420;
+# the plain fused kernels above still write+read it once in bf16 —
+# ~375 MB/step at the LM1B bench shape). Layout is vocab-on-sublanes:
+#   logits^T = W^T (TV, D) @ feats^T (D, TL)  ->  (TV, TL)
+# so the V-axis reductions (LSE, argmax) land on (1, TL) rows that
+# persist per (b, l-tile) in VMEM scratch across the vocab-tile grid
+# sweep (online-softmax accumulation + running Gumbel-argmax; the LSE
+# shift is a per-row constant, so the argmax over non-mask channels can
+# be tracked before the LSE is known, and the mask channel — whose
+# posterior mass log(mcs) does NOT carry the LSE — is resolved against
+# it in the final tile). Grid order (v, b, l) keeps each W^T tile
+# resident across the whole batch sweep: HBM traffic per step is
+# feats^T once per vocab tile + W^T once, ~3x less than the
+# matmul-then-fused-kernel chain at the LM1B shape.
+# ---------------------------------------------------------------------------
+
+def _head_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, feats_ref, w_ref,
+                 bias_ref, *refs, vocab_size: int, mask_index: int,
+                 n_v: int, tile_v: int, n_l: int,
+                 external_gumbel: bool):
+    (out_ref, m_ref, s_ref, best_ref, idx_ref, mg_ref) = refs[-6:]
+    v = pl.program_id(0)
+    b = pl.program_id(1)
+    i = pl.program_id(2)
+    cell = b * n_l + i
+
+    feats_t = feats_ref[0]                      # (D, TL)
+    w_t = w_ref[...]                            # (TV, D)
+    logits = jax.lax.dot_general(
+        w_t, feats_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_ref[...]  # (TV, TL)
+
+    v_ids = v * tile_v + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, 0)
+    is_mask = v_ids == mask_index
+    valid = v_ids < vocab_size
+    masked = jnp.where(is_mask | ~valid, NEG, logits)
+
+    # online-LSE tile stats (exclude NEG channels from the sum)
+    tm = jnp.max(masked, axis=0, keepdims=True)            # (1, TL)
+    ts = jnp.sum(jnp.where(masked <= NEG / 2, 0.0,
+                           jnp.exp(masked - tm)),
+                 axis=0, keepdims=True)
+
+    if external_gumbel:
+        g = refs[0][0].astype(jnp.float32)                 # (TV, TL)
+    else:
+        pltpu.prng_seed(_mix32(seed_ref[0]
+                               + jnp.int32(n_v) * cell + v))
+        g = _gumbel(logits.shape)
+
+    pert = jnp.where(masked <= NEG / 2, NEG, masked + g)
+    tb = jnp.max(pert, axis=0, keepdims=True)              # (1, TL)
+    big = jnp.iinfo(jnp.int32).max
+    tidx = jnp.min(jnp.where(pert >= tb, v_ids, big),
+                   axis=0, keepdims=True)
+    mg_add = jnp.sum(jnp.where(is_mask & valid, g, 0.0),
+                     axis=0, keepdims=True)
+
+    @pl.when(v == 0)
+    def _init():
+        m_ref[cell] = tm
+        s_ref[cell] = ts
+        best_ref[cell] = tb
+        idx_ref[cell] = tidx
+        mg_ref[cell] = mg_add
+
+    @pl.when(v != 0)
+    def _merge():
+        m_old, s_old = m_ref[cell], s_ref[cell]
+        m_new = jnp.maximum(m_old, tm)
+        m_ref[cell] = m_new
+        s_ref[cell] = (s_old * jnp.exp(m_old - m_new)
+                       + ts * jnp.exp(tm - m_new))
+        b_old = best_ref[cell]
+        take = tb > b_old
+        best_ref[cell] = jnp.where(take, tb, b_old)
+        idx_ref[cell] = jnp.where(take, tidx, idx_ref[cell])
+        mg_ref[cell] = mg_ref[cell] + mg_add
+
+    @pl.when(v == n_v - 1)
+    def _final():
+        lse = m_ref[cell] + jnp.log(s_ref[cell])
+        mct = mct_ref[b]
+        mcs = mcs_ref[b]
+        pm_non = best_ref[cell] - lse + jnp.log(mct - mcs)
+        pm_mask = jnp.log(mcs) + mg_ref[cell]
+        xs = jnp.where(pm_non >= pm_mask, idx_ref[cell],
+                       mask_index)[0]
+        xt = xt_ref[0, 0, 0, :]
+        out_ref[0, 0, 0, :] = jnp.where(xt != mask_index, xt, xs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('vocab_size', 'mask_index',
+                                    'tile_l', 'tile_v', 'interpret'))
+def fused_absorbing_head_sample(seed, xt, feats_t, w_t, bias_col,
+                                move_chance_t, move_chance_s, *,
+                                vocab_size: int, mask_index: int,
+                                tile_l=None, tile_v=2048,
+                                interpret=False, gumbel_t=None):
+    """SUBS + posterior + Gumbel-argmax + copy-over with the vocab
+    matmul fused in.
+
+    feats_t: (B, D, L) head features TRANSPOSED (bf16/fp32) — the
+    output of dit_head_features, already gamma-mixed for CFG (the head
+    is linear, samplers.py feature-mix path); w_t: (Vp, D) transposed
+    output kernel, zero-padded to a multiple of tile_v; bias_col:
+    (Vp, 1). Returns xs (B, L) int32, distribution-equivalent to
+    dit_head_matmul + fused_absorbing_sample (fp32 accumulation in
+    both; one bf16 rounding of the logits difference)."""
+    B, D, L = feats_t.shape
+    Vp = w_t.shape[0]
+    assert Vp % tile_v == 0 and Vp >= vocab_size, (Vp, tile_v)
+    if tile_l is None:
+        t = min(128, L)
+        while t > 1 and L % t:
+            t //= 2
+        tile_l = max(t, 1)
+    assert L % tile_l == 0, (L, tile_l)
+    n_l = L // tile_l
+    n_v = Vp // tile_v
+    grid = (n_v, B, n_l)
+    xt4 = xt.reshape(B, n_l, 1, tile_l)
+    kernel = functools.partial(
+        _head_kernel, vocab_size=vocab_size, mask_index=mask_index,
+        n_v=n_v, tile_v=tile_v, n_l=n_l,
+        external_gumbel=gumbel_t is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, tile_l), lambda v, b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, D, tile_l), lambda v, b, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, D), lambda v, b, i: (v, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, 1), lambda v, b, i: (v, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray([seed], jnp.int32), xt4,
+            move_chance_t.astype(jnp.float32),
+            move_chance_s.astype(jnp.float32), feats_t, w_t,
+            bias_col.astype(jnp.float32)]
+    if gumbel_t is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, tile_v, tile_l), lambda v, b, i: (b, v, i),
+            memory_space=pltpu.VMEM))
+        args.append(gumbel_t)
+    cells = B * n_l
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, tile_l),
+                               lambda v, b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_l, 1, tile_l), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # m
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # s
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # best
+            pltpu.VMEM((cells, 1, tile_l), jnp.int32),     # best idx
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # mask gumbel
+        ],
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, L)
+
+
+def pad_head_weights(kernel, bias, tile_v: int = 2048):
+    """One-time prep for fused_absorbing_head_sample: transpose the
+    (D, V) output kernel to (Vp, D) and pad V up to a tile_v multiple
+    (V is rarely 128-aligned — LM1B's 30523 — and the pad rows are
+    masked in-kernel). Call OUTSIDE the sampling scan; the result is
+    loop-invariant."""
+    D, V = kernel.shape
+    Vp = ((V + tile_v - 1) // tile_v) * tile_v
+    w_t = jnp.pad(kernel.T, ((0, Vp - V), (0, 0)))
+    bias_col = jnp.pad(bias.astype(jnp.float32), (0, Vp - V))[:, None]
+    return w_t, bias_col

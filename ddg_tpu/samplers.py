@@ -87,6 +87,12 @@ class SamplerSpec:
     # ~T NFEs. The reference's NFE cache (diffusion.py:1371-1374)
     # approximates this; here it is exact and static-shaped.
     first_hitting: bool = False
+    # Fold the vocab projection INTO the fused sampling kernel
+    # (ops/fused_sampling.fused_absorbing_head_sample): the (B, L, V)
+    # logits tensor never exists in HBM. Absorbing-state none/CFG
+    # ancestral paths with a DiT backbone (needs dit_cfg). Requires
+    # fused=True.
+    fused_head: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,8 +165,39 @@ def _cached(compute, cache, cache_valid):
 # Denoise-step variants. Each returns (xs, cache_pytree).
 # ---------------------------------------------------------------------------
 
+def _head_fused_sample(spec, dit_cfg, params, seed, xt, feats, mct,
+                       mcs):
+    """Head-fused denoise step: the vocab projection runs INSIDE the
+    sampling kernel (ops/fused_sampling.fused_absorbing_head_sample),
+    so the (B, L, V) logits never exist in HBM. The transpose/pad prep
+    of the head weights is loop-invariant and hoisted out of the
+    sampling lax.scan by XLA."""
+    from ddg_tpu.ops.fused_sampling import (fused_absorbing_head_sample,
+                                            pad_head_weights)
+    dt = dit_cfg.logits_dtype
+    w_t, bias_col = pad_head_weights(
+        params['output_linear']['kernel'].astype(dt),
+        params['output_linear']['bias'])
+    feats_t = jnp.swapaxes(feats, 1, 2).astype(dt)  # (B, D, L)
+    return fused_absorbing_head_sample(
+        seed, xt, feats_t, w_t, bias_col, mct[:, 0, 0], mcs[:, 0, 0],
+        vocab_size=spec.vocab_size, mask_index=spec.mask_index)
+
+
 def _ddpm_step(spec, sampler, model_apply, params, key, xt, sigma_t,
-               mct, mcs, cache, cache_valid):
+               mct, mcs, cache, cache_valid, dit_cfg=None):
+    if (_fused_ok(spec, sampler, None) and sampler.fused_head
+            and spec.diffusion == 'absorbing_state'
+            and dit_cfg is not None and cache_valid is None):
+        from ddg_tpu.models.dit import dit_head_features
+        hidden, cvec = model_apply(
+            params, xt, process_sigma(spec, sigma_t), None, None,
+            train=False, rng=None, skip_head=True)
+        feats = dit_head_features(dit_cfg, params, hidden, cvec)
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        xs = _head_fused_sample(spec, dit_cfg, params, seed, xt, feats,
+                                mct, mcs)
+        return xs, cache
     if _fused_ok(spec, sampler, None):
         def compute(_):
             return _raw_logits(spec, model_apply, params, xt, sigma_t)
@@ -221,10 +258,15 @@ def _cfg_step(spec, sampler, guidance, model_apply, params, key, xt,
         B = xt.shape[0]
         fmix = (gamma * feats2[:B].astype(jnp.float32)
                 + (1 - gamma) * feats2[B:].astype(jnp.float32))
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        if sampler.fused_head:
+            xs = _head_fused_sample(spec, dit_cfg, params, seed, xt,
+                                    fmix.astype(feats2.dtype), mct,
+                                    mcs)
+            return xs, cache
         logits_mix = dit_head_matmul(
             dit_cfg, params, fmix.astype(feats2.dtype)
         ).astype(jnp.bfloat16)
-        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
         xs = fused_absorbing_sample(
             seed, xt, logits_mix, mct[:, 0, 0], mcs[:, 0, 0],
             mask_index=spec.mask_index)
@@ -531,7 +573,8 @@ def diffusion_sample(spec: DiffusionSpec, sampler: SamplerSpec,
         if method is None:
             xs, new_cache = _ddpm_step(
                 spec, sampler, model_apply, params, step_key, xt,
-                sigma_t, mct, mcs, cache, cache_valid)
+                sigma_t, mct, mcs, cache, cache_valid,
+                dit_cfg=dit_cfg)
         elif method == 'cfg':
             xs, new_cache = _cfg_step(
                 spec, sampler, guidance, model_apply, params, step_key,

@@ -133,6 +133,23 @@ def main():
               s, xt_u, logits, logits_u, gamma, a_t, a_s,
               vocab_size=V), q_ucfg)
 
+    # Head-fused kernel (vocab matmul in-kernel): same analytic target
+    # as 'absorbing none', with logits produced by feats @ W + bias.
+    from ddg_tpu.ops.fused_sampling import (fused_absorbing_head_sample,
+                                            pad_head_weights)
+    D = 32
+    feats = jax.random.normal(jax.random.PRNGKey(11), (B, L, D),
+                              jnp.float32)
+    Wk = jax.random.normal(jax.random.PRNGKey(12), (D, V)) * 0.4
+    bias = jax.random.normal(jax.random.PRNGKey(13), (V,)) * 0.2
+    w_t, bias_col = pad_head_weights(Wk, bias, tile_v=128)
+    feats_t = jnp.swapaxes(feats, 1, 2)
+    q_head = _analytic_q(feats @ Wk + bias, mct, mcs)
+    check('absorbing head-fused (fp32)',
+          lambda s: fused_absorbing_head_sample(
+              s, xt, feats_t, w_t, bias_col, mct, mcs, vocab_size=V,
+              mask_index=MASK, tile_v=128), q_head)
+
     print('ALL PASS' if ok else 'FAILURES')
     sys.exit(0 if ok else 1)
 

@@ -157,3 +157,99 @@ def test_fused_uniform_cfg_matches_log_posterior_interpolation():
         0, xt, logits, logits_u, gamma, a_t, a_s, vocab_size=V,
         tile_l=8, interpret=True, gumbel=gumbel)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+class TestHeadFused:
+    """fused_absorbing_head_sample: the vocab matmul runs in-kernel
+    (vocab-on-sublanes layout, online-LSE over vocab tiles, running
+    Gumbel-argmax with the mask channel resolved in the final tile)."""
+
+    def _head_setup(self, seed=0, D=24, tile_v=128):
+        from ddg_tpu.ops.fused_sampling import pad_head_weights
+        ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+        feats = jax.random.normal(ks[0], (B, L, D), jnp.float32)
+        kernel = jax.random.normal(ks[1], (D, V), jnp.float32) * 0.5
+        bias = jax.random.normal(ks[2], (V,), jnp.float32)
+        x0 = jax.random.randint(ks[3], (B, L), 0, V - 1)
+        masked = jax.random.uniform(ks[4], (B, L)) < 0.6
+        xt = jnp.where(masked, MASK, x0)
+        mct = jax.random.uniform(ks[5], (B,), minval=0.4, maxval=0.9)
+        mcs = mct * 0.6
+        w_t, bias_col = pad_head_weights(kernel, bias, tile_v=tile_v)
+        return feats, kernel, bias, xt, mct, mcs, w_t, bias_col
+
+    def test_matches_matmul_plus_unfused_chain(self):
+        from ddg_tpu.ops.fused_sampling import \
+            fused_absorbing_head_sample
+        (feats, kernel, bias, xt, mct, mcs,
+         w_t, bias_col) = self._head_setup(tile_v=128)
+        Vp = w_t.shape[0]
+        g_full = jax.random.gumbel(jax.random.PRNGKey(42), (B, L, V),
+                                   jnp.float32)
+        # kernel layout: (B, Vp, L), pad rows never win (masked NEG)
+        g_t = jnp.pad(jnp.swapaxes(g_full, 1, 2),
+                      ((0, 0), (0, Vp - V), (0, 0)))
+        out = fused_absorbing_head_sample(
+            11, xt, jnp.swapaxes(feats, 1, 2), w_t, bias_col, mct, mcs,
+            vocab_size=V, mask_index=MASK, tile_v=128, tile_l=8,
+            interpret=True, gumbel_t=g_t)
+        logits = feats @ kernel + bias
+        expect = _expected(_subs_log_q(logits, mct, mcs), g_full, xt)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(expect))
+
+    def test_single_vocab_tile(self):
+        # Vp == tile_v: init/merge/final all in one grid step per row.
+        from ddg_tpu.ops.fused_sampling import \
+            fused_absorbing_head_sample
+        (feats, kernel, bias, xt, mct, mcs,
+         w_t, bias_col) = self._head_setup(seed=3, tile_v=256)
+        Vp = w_t.shape[0]
+        assert Vp == 256
+        g_full = jax.random.gumbel(jax.random.PRNGKey(7), (B, L, V))
+        g_t = jnp.pad(jnp.swapaxes(g_full, 1, 2),
+                      ((0, 0), (0, Vp - V), (0, 0)))
+        out = fused_absorbing_head_sample(
+            3, xt, jnp.swapaxes(feats, 1, 2), w_t, bias_col, mct, mcs,
+            vocab_size=V, mask_index=MASK, tile_v=256, tile_l=16,
+            interpret=True, gumbel_t=g_t)
+        logits = feats @ kernel + bias
+        expect = _expected(_subs_log_q(logits, mct, mcs), g_full, xt)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(expect))
+
+    def test_sampler_head_fused_path_cpu_fallback(self):
+        # On CPU _fused_ok is False: sampling.fused_head must not
+        # change behavior (falls back to the jnp chain) — the flag is
+        # safe to enable in configs that also run on the test mesh.
+        import dataclasses
+        from ddg_tpu.diffusion import DiffusionSpec
+        from ddg_tpu.models import DIT, DITConfig, make_model_apply
+        from ddg_tpu.ops.noise_schedules import LogLinearNoise
+        from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
+                                      diffusion_sample)
+        cfg = DITConfig(hidden_size=32, cond_dim=16, length=16,
+                        n_blocks=1, n_heads=2, dropout=0.0,
+                        vocab_size=33, num_classes=2,
+                        compute_dtype=jnp.float32)
+        spec = DiffusionSpec(diffusion='absorbing_state',
+                             parameterization='subs',
+                             noise=LogLinearNoise(), vocab_size=33,
+                             mask_index=32, num_classes=2)
+        model = DIT(cfg)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.randint(key, (2, 16), 0, 33)
+        params = model.init(key, x, jnp.ones((2,)),
+                            jnp.zeros((2,), jnp.int32))['params']
+        apply_fn = make_model_apply(model)
+        g = GuidanceSpec(method='cfg', gamma=1.5, condition=0)
+        outs = {}
+        for fh in (False, True):
+            s = SamplerSpec(steps=4, fused=True, fused_head=fh,
+                            use_cache=False)
+            outs[fh] = diffusion_sample(
+                spec, s, apply_fn, params, key, batch_size=2,
+                length=16, guidance=g,
+                cond=jnp.zeros((2,), jnp.int32), dit_cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(outs[False]),
+                                      np.asarray(outs[True]))
