@@ -228,6 +228,12 @@ class DDiTBlock(nn.Module):
         use_tpu_flash = (cfg.tpu_flash_attn
                          if isinstance(cfg.tpu_flash_attn, bool)
                          else False)
+        if cfg.tensor_axis:
+            # Pallas kernels are opaque custom calls GSPMD cannot
+            # partition: under tensor/sequence parallelism they would
+            # force a replicated (unsharded) attention. XLA attention
+            # partitions cleanly over heads or L.
+            use_fused_rope = use_pallas = use_tpu_flash = False
         if use_tpu_flash:
             from jax.experimental.pallas.ops.tpu import (
                 flash_attention as _fa)

@@ -26,6 +26,10 @@ Replaces the reference's DDP/FSDP Lightning strategies
     activations hop stages via lax.ppermute inside shard_map, the
     schedule is one lax.scan.
 
+Expert parallelism ('ep') is deliberately absent: none of the
+reference's model families (DiT / DiMamba / UNet) has a
+mixture-of-experts layer, so there is no expert axis to shard.
+
 Everything is sharding-annotation driven: compute code never changes
 (the one exception: DiT emits with_sharding_constraint hints under
 tensor parallelism, no-ops otherwise).
