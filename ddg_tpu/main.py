@@ -369,7 +369,8 @@ def _tp_mode(config: Config) -> str:
     if st is None:
         return 'heads'
     mode = str(st.get('tp_mode', 'heads') or 'heads')
-    assert mode in ('heads', 'sequence'), f'unknown tp_mode {mode!r}'
+    assert mode in ('heads', 'sequence', 'ring'), \
+        f'unknown tp_mode {mode!r}'
     return mode
 
 

@@ -85,11 +85,16 @@ class DITConfig:
     tensor_axis: Optional[str] = None
     # What the 'tensor' axis splits: 'heads' (Megatron TP — attention
     # heads + MLP hidden sharded, params split by
-    # parallel.mesh.TENSOR_PARAM_RULES, psum pair per block) or
+    # parallel.mesh.TENSOR_PARAM_RULES, psum pair per block),
     # 'sequence' (context parallel — activations sharded over L,
     # params replicated/fsdp; XLA all-gathers K/V for attention so
     # each device computes its L-shard of outputs; use for long-L
-    # workloads where activations, not params, are the HBM bound).
+    # workloads where activations, not params, are the HBM bound), or
+    # 'ring' (like 'sequence' but K/V stay sharded and circulate the
+    # ring via ppermute with online-softmax accumulation,
+    # ops/ring_attention.py — O(L/n) memory instead of the 'sequence'
+    # mode's all-gathered O(L) K/V; requires jax.set_mesh, which
+    # parallel.mesh.shard_train_step provides).
     tp_mode: str = 'heads'
     # Mesh axis carrying the batch shard, used only in the tensor-
     # parallel activation constraints so they don't wipe data sharding.
@@ -161,6 +166,16 @@ def modulate(x, shift, scale):
     return x * (1 + scale[:, None]) + shift[:, None]
 
 
+def _ambient_axis_size(axis: str) -> int:
+    """Size of a named axis in the ambient (jax.set_mesh) mesh, or 0
+    when no mesh context is active (e.g. during model.init)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return int(dict(mesh.shape).get(axis, 0))
+    except Exception:
+        return 0
+
+
 def _tp_constrain(x, *spec):
     """with_sharding_constraint that no-ops outside a mesh context
     (e.g. during model.init): a bare PartitionSpec needs `with mesh:`
@@ -219,6 +234,15 @@ class DDiTBlock(nn.Module):
                               None, None)
             k = _tp_constrain(k, cfg.batch_axis, None, None, None)
             v = _tp_constrain(v, cfg.batch_axis, None, None, None)
+        elif cfg.tensor_axis and cfg.tp_mode == 'ring':
+            # K/V stay L-sharded too: they circulate the ring inside
+            # ring_attention instead of being all-gathered.
+            q = _tp_constrain(q, cfg.batch_axis, cfg.tensor_axis,
+                              None, None)
+            k = _tp_constrain(k, cfg.batch_axis, cfg.tensor_axis,
+                              None, None)
+            v = _tp_constrain(v, cfg.batch_axis, cfg.tensor_axis,
+                              None, None)
         use_fused_rope = (cfg.fused_rope_attn
                           if isinstance(cfg.fused_rope_attn, bool)
                           else False)
@@ -257,13 +281,23 @@ class DDiTBlock(nn.Module):
         else:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            attn = jax.nn.dot_product_attention(
-                q, k, v, is_causal=cfg.causal)
+            ring_n = (_ambient_axis_size(cfg.tensor_axis)
+                      if cfg.tensor_axis and cfg.tp_mode == 'ring'
+                      else 0)
+            if ring_n > 1 and not cfg.causal:
+                from ddg_tpu.ops.ring_attention import ring_attention
+                attn = ring_attention(q, k, v, axis=cfg.tensor_axis,
+                                      batch_axis=cfg.batch_axis)
+            else:
+                # ring mode falls back here outside a mesh context
+                # (model.init) or on a 1-sized axis.
+                attn = jax.nn.dot_product_attention(
+                    q, k, v, is_causal=cfg.causal)
         attn = attn.reshape(B, L, dim)
         if cfg.tensor_axis and cfg.tp_mode == 'heads':
             attn = _tp_constrain(attn, cfg.batch_axis, None,
                                  cfg.tensor_axis)
-        elif cfg.tensor_axis and cfg.tp_mode == 'sequence':
+        elif cfg.tensor_axis and cfg.tp_mode in ('sequence', 'ring'):
             attn = _tp_constrain(attn, cfg.batch_axis,
                                  cfg.tensor_axis, None)
         h = nn.Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
@@ -281,14 +315,14 @@ class DDiTBlock(nn.Module):
         h = nn.gelu(h, approximate=True)
         if cfg.tensor_axis and cfg.tp_mode == 'heads':
             h = _tp_constrain(h, cfg.batch_axis, None, cfg.tensor_axis)
-        elif cfg.tensor_axis and cfg.tp_mode == 'sequence':
+        elif cfg.tensor_axis and cfg.tp_mode in ('sequence', 'ring'):
             h = _tp_constrain(h, cfg.batch_axis, cfg.tensor_axis, None)
         h = nn.Dense(dim, use_bias=True, dtype=dt, name='mlp_out')(h)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         if use_adaLN:
             h = gate_mlp[:, None] * h
         out = x_skip + h
-        if cfg.tensor_axis and cfg.tp_mode == 'sequence':
+        if cfg.tensor_axis and cfg.tp_mode in ('sequence', 'ring'):
             # Pin the residual stream L-sharded between blocks.
             out = _tp_constrain(out, cfg.batch_axis, cfg.tensor_axis,
                                 None)

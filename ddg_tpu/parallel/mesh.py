@@ -172,15 +172,17 @@ def shard_train_step(mesh: Mesh, train_step, state, batch,
         donate_argnums=(0,))
 
     def jitted(state, batch):
-        # Trace/execute under the mesh context so bare-PartitionSpec
-        # with_sharding_constraint hints inside the model (tensor
-        # parallelism, models/dit.py) resolve axis names.
-        with mesh:
+        # Trace/execute under the ambient-mesh context so
+        # bare-PartitionSpec with_sharding_constraint hints AND
+        # ambient-mesh shard_map regions inside the model (tensor /
+        # sequence / ring parallelism, models/dit.py) resolve axis
+        # names.
+        with jax.set_mesh(mesh):
             return jitted_raw(state, batch)
 
     # expose lower/compile for cost-analysis probes (__graft_entry__)
     def _lower(state, batch):
-        with mesh:
+        with jax.set_mesh(mesh):
             return jitted_raw.lower(state, batch)
     jitted.lower = _lower
 
