@@ -196,7 +196,12 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
-                           else jnp.float32))
+                           else jnp.float32),
+            sequence_axis=('tensor'
+                           if (_tensor_devices(config) > 1
+                               and _tp_mode(config) in ('sequence',
+                                                        'ring'))
+                           else None))
         model = DiMamba(cfg)
         return model, cfg, make_model_apply(model)
     if backbone == 'unet':

@@ -92,6 +92,17 @@ class DiMambaConfig:
     # the XLA path or when activations exceed HBM.
     remat: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Sequence parallelism (beyond the reference): mesh axis to shard
+    # L over. The scan runs via ops/ssm_sequence_parallel.py (local
+    # scan per shard + closed-form cross-shard state combine +
+    # fix-up); everything else (convs — halo exchange, flips, norms,
+    # projections) is GSPMD-partitioned automatically. Requires
+    # jax.set_mesh (parallel.mesh.shard_train_step provides it);
+    # outside a mesh context this falls back to the single-device
+    # scan. L must divide by the axis size, and the LOCAL L by
+    # scan_chunk.
+    sequence_axis: Optional[str] = None
+    batch_axis: str = 'data'
 
     @property
     def d_inner(self) -> int:
@@ -251,6 +262,30 @@ class MambaCore(nn.Module):
                                                     bool)
                       else jax.default_backend() == 'tpu')
         L = x.shape[1]
+        seq_n = 0
+        if cfg.sequence_axis is not None:
+            from ddg_tpu.models.dit import _ambient_axis_size
+            seq_n = _ambient_axis_size(cfg.sequence_axis)
+        if seq_n > 1:
+            import functools as _ft
+
+            from ddg_tpu.ops.ssm_sequence_parallel import \
+                ssm_scan_sequence_parallel
+            delta = jax.nn.softplus(dt_dense(dt_lr))
+            if use_pallas:
+                from ddg_tpu.ops.selective_scan_pallas import \
+                    selective_scan_pallas
+                local_scan = _ft.partial(
+                    selective_scan_pallas, chunk=cfg.scan_chunk,
+                    seg=cfg.scan_seg, seg_bwd=cfg.scan_seg_bwd,
+                    scan_impl=cfg.scan_impl)
+            else:
+                local_scan = _ft.partial(selective_scan,
+                                         chunk=cfg.scan_chunk)
+            return ssm_scan_sequence_parallel(
+                x, delta, A, B_ssm, C_ssm, D, z,
+                local_scan=local_scan, axis=cfg.sequence_axis,
+                batch_axis=cfg.batch_axis)
         if use_pallas and cfg.dt_inkernel and L % cfg.scan_chunk == 0:
             # dt-lowrank fast path: dt_proj + softplus run inside the
             # scan kernel, so the (B, L, d_inner) fp32 delta tensor
