@@ -78,6 +78,13 @@ class TestParallelStrategies:
         state = M.train(cfg)
         assert int(state.step) == 8
 
+    def test_train_ring_from_config(self, tmp_path):
+        cfg = _tiny_config(tmp_path, extra=[
+            'strategy=sp', 'strategy.tensor_devices=2',
+            'strategy.tp_mode=ring'])
+        state = M.train(cfg)
+        assert int(state.step) == 8
+
 
 class TestTrainE2E:
     def test_train_runs_and_checkpoints(self, trained):
