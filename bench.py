@@ -456,6 +456,27 @@ def bench_unet(args):
         sps / baseline if baseline else None, _mfu(flops, dt))
 
 
+def _backend_ok(timeout=240):
+    """Probe backend init in a SUBPROCESS with a timeout. Through the
+    axon tunnel, jax.devices() can hang indefinitely when the tunnel is
+    down (observed: multi-hour outages) — a hung bench run records
+    nothing for the whole round, while a fast honest error line keeps
+    the other evidence intact."""
+    import os
+    import subprocess
+    import sys
+    code = 'import jax; print(jax.devices()[0].platform)'
+    try:
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, timeout=timeout,
+                           text=True, env=dict(os.environ))
+        if r.returncode == 0:
+            return True, r.stdout.strip(), False
+        return False, (r.stdout + r.stderr).strip()[-300:], False
+    except subprocess.TimeoutExpired:
+        return False, f'backend init timed out after {timeout}s', True
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch', type=int, default=None)
@@ -492,6 +513,20 @@ def main():
         'unet': args.unet,
     }
     run_all = not any(selected.values())
+
+    ok, note, timed_out = _backend_ok()
+    if not ok and timed_out:
+        time.sleep(120)                 # one retry, tunnel blips only:
+        ok, note, _ = _backend_ok()     # a fast failure is permanent
+    if not ok:
+        for name, sel in selected.items():
+            if run_all or sel:
+                print(json.dumps({
+                    'metric': name, 'value': 0.0, 'unit': 'unmeasured',
+                    'vs_baseline': None, 'mfu': None,
+                    'error': f'jax backend unavailable: {note}'}),
+                    flush=True)
+        return
 
     workloads = [
         ('first_hitting', lambda: bench_sampling(args, True)),

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Round-3 on-chip close-out: every leg that was queued while the axon
+# tunnel was down, batched into ONE sequential session (one TPU job at
+# a time — tunnel contention stalls both; Pallas compiles through the
+# remote-compile tunnel take 10-25 min, so everything is batched here
+# rather than iterated). Logs land in $LOGDIR; each leg is independent
+# so a failure doesn't lose the rest.
+#
+# Legs:
+#   1. drive_verify       — tiny-DiT sampler distribution drive on chip
+#                           (ancestral fused/unfused + first-hitting TV)
+#   2. validate_fused     — fused-kernel RNG/distribution checks vs
+#                           analytic posteriors (incl. the head-fused
+#                           kernel; interpret mode fakes the PRNG, so
+#                           this MUST run on the real chip)
+#   3. head-fused A/B     — bench.py --ancestral vs --ancestral
+#                           --fused-head (decides the fused_head
+#                           default; DESIGN.md round-4 queue item 0)
+#   4. bench refresh      — full six-workload bench.py
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-/root/.axon_site}"
+LOGDIR="${LOGDIR:-/tmp/onchip_closeout}"
+mkdir -p "$LOGDIR"
+
+run_leg() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== $name ($(date)) -> $LOGDIR/$name.log"
+  if timeout "$tmo" "$@" > "$LOGDIR/$name.log" 2>&1; then
+    echo "    $name OK"
+  else
+    echo "    $name FAILED (rc=$?) — see $LOGDIR/$name.log"
+  fi
+}
+
+run_leg drive_verify      2400 python scripts/drive_verify.py
+run_leg validate_fused    5400 python scripts/validate_fused_tpu.py
+run_leg ab_ancestral      3600 python bench.py --ancestral
+run_leg ab_fused_head     5400 python bench.py --ancestral --fused-head
+run_leg bench_full        7200 python bench.py
+
+echo "=== summary ==="
+tail -n 2 "$LOGDIR"/*.log
