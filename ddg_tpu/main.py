@@ -363,10 +363,17 @@ def build_data(config: Config, *, synthetic: Optional[bool] = None):
 
 
 def _tensor_devices(config: Config) -> int:
+    """Effective tensor-axis size: the configured tensor_devices capped
+    by the visible device count, mirroring build_mesh. Keying model
+    sharding annotations off the RAW config value would, on a single
+    device, set tensor_axis for a mesh whose tensor axis is 1 — no
+    sharding happens, but dit.py would still disable its Pallas/flash
+    attention kernels (GSPMD-opaque custom calls) for nothing."""
     st = config.get('strategy')
     if st is None:
         return 1
-    return max(1, int(st.get('tensor_devices', 1) or 1))
+    n = max(1, int(st.get('tensor_devices', 1) or 1))
+    return min(n, jax.device_count())
 
 
 def _tp_mode(config: Config) -> str:
@@ -527,6 +534,19 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
     optim_spec = build_optim_spec(config)
     avg_spec = build_averaging_spec(config)
     mesh = build_mesh(config)
+    if dict(mesh.shape).get('tensor', 1) > 1:
+        # A tensor axis only splits compute where the model shards over
+        # it: DiT (all tp_modes) or DiMamba with a sequence axis. Any
+        # other combination would silently run `tensor`-fold duplicate
+        # work (the axis replicates), so refuse it loudly.
+        bb, mode = str(config.backbone), _tp_mode(config)
+        assert bb in ('dit', 'hf_dit') or (
+            bb == 'dimamba' and mode in ('sequence', 'ring')), (
+            f'strategy tensor_devices>1 with backbone={bb} '
+            f'tp_mode={mode} shards nothing over the tensor axis '
+            '(devices would compute duplicate work); use strategy=dp/'
+            'fsdp, or backbone=dit, or backbone=dimamba with '
+            'tp_mode=sequence')
 
     accum = int(config.trainer.accumulate_grad_batches)
     batch_size = int(config.loader.batch_size)
@@ -549,6 +569,7 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                    for p in jax.tree.leaves(params))
     LOGGER.info(f'Model parameters: {n_params / 1e6:.2f}M')
 
+    eval_batch_multiple = 1
     if dict(mesh.shape).get('pipe', 1) > 1:
         # GPipe over stacked DDiT blocks (strategy=pp,
         # parallel/pipeline.py); checkpoints store the stacked layout
@@ -560,6 +581,10 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
         n_micro = int(config.strategy.get('pipe_microbatches', 4))
         apply_fn = make_pipeline_apply(model_cfg, mesh, n_micro=n_micro)
         params = to_pipeline_params(params, model_cfg.n_blocks)
+        # The pipelined apply shard_maps the batch over the data axis
+        # and splits each local shard into n_micro microbatches — any
+        # batch through it (train AND eval) must divide by this.
+        eval_batch_multiple = dict(mesh.shape).get('data', 1) * n_micro
 
     state = init_train_state(state_rng, params, optim_spec, avg_spec)
     train_step = make_train_step(spec, apply_fn, optim_spec, avg_spec,
@@ -671,7 +696,8 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                 f'({tok_s / 1e3:.1f}K tok/s)')
         if step % val_every == 0 or step >= max_steps:
             val = validate(config, spec, apply_fn, state, data['valid'],
-                           rng=eval_rng, eval_step=eval_step)
+                           rng=eval_rng, eval_step=eval_step,
+                           batch_multiple=eval_batch_multiple)
             metrics_log.log(step, {'val/nll': val.nll,
                                    'val/bpd': val.bpd,
                                    'val/ppl': val.ppl})
@@ -758,13 +784,26 @@ def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
 
 
 def validate(config, spec, apply_fn, state, valid_data, *, rng,
-             max_batches: Optional[int] = None, eval_step=None):
+             max_batches: Optional[int] = None, eval_step=None,
+             batch_multiple: int = 1):
+    """batch_multiple: hard divisibility constraint on the eval batch
+    (pipeline apply: data axis x pipe_microbatches — an indivisible
+    batch trips a trace-time assert inside shard_map, which under
+    strategy=pp would kill the whole training run at the first
+    val_check_interval)."""
     if eval_step is None:
         eval_step = jax.jit(make_eval_step(
             spec, apply_fn,
             use_averaged=not bool(config.eval.disable_ema)))
     n_valid = len(next(iter(valid_data.values())))
     eval_bs = min(int(config.loader.eval_batch_size), n_valid)
+    if batch_multiple > 1:
+        assert n_valid >= batch_multiple, (
+            f'validation split ({n_valid} examples) smaller than the '
+            f'pipeline batch multiple {batch_multiple} (data axis x '
+            'pipe_microbatches); enlarge the split or shrink the mesh')
+        eval_bs = max(batch_multiple,
+                      eval_bs - eval_bs % batch_multiple)
     loader = FaultTolerantLoader(
         valid_data, eval_bs, shuffle=False, seed=int(config.seed))
     limit = config.trainer.get('limit_val_batches', 1.0)

@@ -62,6 +62,14 @@ def _ring_body(q, k, v, *, axis: str, n_ring: int):
         v_blk = lax.ppermute(v_blk, axis, perm)
         return (k_blk, v_blk, m_new, acc, den), None
 
+    # Remat the ring step: without it, AD saves each step's
+    # (B, Lq, H, Lk) probability block — n_ring of them is the FULL
+    # (Lq, L) score matrix per device, i.e. exactly the O(L) blow-up
+    # ring attention exists to avoid (~13 GB at L=32K, H=12, n=4,
+    # fp32). Checkpointed, the backward recomputes s/p from the saved
+    # per-step carries (K/V/m/acc/den shards, O(L/n) each), keeping
+    # training memory O(L/n * n_ring) in small tensors only.
+    step = jax.checkpoint(step, prevent_cse=False)
     (_, _, _, acc, den), _ = lax.scan(step, (k, v, m0, acc0, den0),
                                       None, length=n_ring)
     return (acc / den).astype(q.dtype)

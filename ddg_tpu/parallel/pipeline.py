@@ -83,6 +83,13 @@ def make_pipeline_apply(cfg, mesh: Mesh, n_micro: int,
         # Everything here sees LOCAL shapes: stacked (n_local, ...),
         # x (B_local, L, D), c (B_local, C). key: (2,) uint32 or None.
         s = lax.axis_index(axis)
+        if key is not None:
+            # Decorrelate dropout across data shards: the key enters
+            # shard_map replicated (in_specs P()), and folding only
+            # (block, microbatch) below would give every data shard an
+            # identical mask — a silent statistical deviation from the
+            # unpipelined model's single full-batch mask.
+            key = jax.random.fold_in(key, lax.axis_index(batch_axis))
         Bl, L, D = x.shape
         assert Bl % n_micro == 0, (
             f'local batch {Bl} not divisible by n_micro={n_micro}')

@@ -85,6 +85,40 @@ class TestParallelStrategies:
         state = M.train(cfg)
         assert int(state.step) == 8
 
+    def test_pp_eval_batch_indivisible(self, tmp_path):
+        # Regression: eval_batch_size=6 does not divide the pipeline
+        # constraint (data axis x pipe_microbatches = 4*2 = 8); the
+        # in-train validation at step 8 must round it to the multiple
+        # instead of tripping the shard_map trace-time assert and
+        # killing the run. dropout>0 also exercises the pipelined
+        # dropout RNG path (per-data-shard key folding).
+        cfg = _tiny_config(tmp_path, extra=[
+            'strategy=pp', 'strategy.pipe_devices=2',
+            'strategy.pipe_microbatches=2',
+            'loader.eval_global_batch_size=6',
+            'model.dropout=0.1'])
+        state = M.train(cfg)
+        assert int(state.step) == 8
+
+    def test_tp_rejects_unsharded_backbone(self, tmp_path):
+        # strategy=tp (tp_mode=heads) shards only DiT names; with any
+        # other backbone the tensor axis would replicate work silently
+        # — train() must refuse it loudly.
+        cfg = load_config(CONFIG_DIR, overrides=[
+            'data=text8', 'parameterization=subs',
+            'diffusion=absorbing_state',
+            'backbone=dimamba', 'model=dimamba',
+            'model.length=32', 'model.hidden_size=16',
+            'model.n_blocks=1', 'model.dropout=0.0',
+            'trainer.precision=fp32', 'trainer.max_steps=2',
+            'loader.global_batch_size=8', 'loader.batch_size=8',
+            'trainer.devices=1',
+            f'data.cache_dir={tmp_path}/data', '+data.synthetic=true',
+            f'checkpointing.save_dir={tmp_path}/run',
+            'strategy=tp', 'strategy.tensor_devices=2'])
+        with pytest.raises(AssertionError, match='shards nothing'):
+            M.train(cfg)
+
 
 class TestTrainE2E:
     def test_train_runs_and_checkpoints(self, trained):
