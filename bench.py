@@ -265,6 +265,8 @@ def bench_train_text8(args):
                         n_blocks=12, n_heads=12, dropout=0.1,
                         vocab_size=35)
         B = args.batch or 256
+    if getattr(args, 'flash_attn', False):
+        cfg = dataclasses.replace(cfg, tpu_flash_attn=True)
     accum = max(1, getattr(args, 'accum', 1))
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
@@ -495,6 +497,10 @@ def main():
                    action='store_true',
                    help='fold the vocab projection into the sampling '
                         'kernel (ancestral; A/B vs plain --ancestral)')
+    p.add_argument('--flash-attn', dest='flash_attn',
+                   action='store_true',
+                   help='use the in-tree Pallas TPU flash-attention '
+                        'kernel in --train (A/B vs XLA attention)')
     # workload selectors (default: full suite)
     p.add_argument('--first-hitting', action='store_true')
     p.add_argument('--ancestral', action='store_true')

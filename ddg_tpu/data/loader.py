@@ -35,8 +35,16 @@ class FaultTolerantLoader:
                  shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 native: str | bool = 'auto'):
+        # native: gather batches with the C++ pipeline
+        # (native/data_pipeline.cpp — threaded row gather + bounded
+        # prefetch queue off the GIL, the torch-DataLoader-worker
+        # equivalent). RNG / epoch order / resume state stay in
+        # Python either way, so batches are identical. 'auto' = use
+        # it when the library builds and all columns are numpy.
         self.data = data
+        self.native = native
         n = {len(v) for v in data.values()}
         assert len(n) == 1, 'ragged dataset columns'
         self.num_examples = n.pop()
@@ -66,7 +74,26 @@ class FaultTolerantLoader:
         # (FaultTolerantDistributedSampler parity).
         return order[self.process_index::self.process_count]
 
+    def _native_pipeline(self):
+        """A NativeBatchPipeline per iterator, or None (fallback)."""
+        if self.native is False:
+            return None
+        usable = all(isinstance(v, np.ndarray) for v in
+                     self.data.values())
+        if not usable:
+            if self.native is True:
+                raise ValueError('native loader requires numpy columns')
+            return None
+        try:
+            from ddg_tpu.data.native import NativeBatchPipeline
+            return NativeBatchPipeline(self.data, self.batch_size)
+        except RuntimeError:
+            if self.native is True:
+                raise
+            return None
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        pipeline = self._native_pipeline()
         while True:
             order = self._epoch_order(self.state.epoch)
             n_batches = len(order) // self.batch_size
@@ -77,10 +104,16 @@ class FaultTolerantLoader:
                     f'{len(order)} examples available to this host; '
                     'lower loader.eval_batch_size / batch_size')
             start_batch = self.state.counter // self.batch_size
-            for b in range(start_batch, n_batches):
-                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                self.state.counter = (b + 1) * self.batch_size
-                yield {k: v[idx] for k, v in self.data.items()}
+            if pipeline is not None:
+                for b, batch in pipeline.run_epoch(order, start_batch):
+                    self.state.counter = (b + 1) * self.batch_size
+                    yield batch
+            else:
+                for b in range(start_batch, n_batches):
+                    idx = order[b * self.batch_size:
+                                (b + 1) * self.batch_size]
+                    self.state.counter = (b + 1) * self.batch_size
+                    yield {k: v[idx] for k, v in self.data.items()}
             if not self.drop_last and len(order) % self.batch_size:
                 idx = order[n_batches * self.batch_size:]
                 yield {k: v[idx] for k, v in self.data.items()}

@@ -21,8 +21,8 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), '..', '..',
                          'native', 'libfast_tokenize.so')
 
 
-def _load_library() -> Optional[ctypes.CDLL]:
-    path = os.path.abspath(_LIB_PATH)
+def _build_and_load(path: str) -> Optional[ctypes.CDLL]:
+    path = os.path.abspath(path)
     if not os.path.exists(path):
         build = os.path.join(os.path.dirname(path), 'build.sh')
         try:
@@ -31,8 +31,14 @@ def _load_library() -> Optional[ctypes.CDLL]:
         except Exception:
             return None
     try:
-        lib = ctypes.CDLL(path)
+        return ctypes.CDLL(path)
     except OSError:
+        return None
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    lib = _build_and_load(_LIB_PATH)
+    if lib is None:
         return None
     lib.ddg_trie_new.restype = ctypes.c_void_p
     lib.ddg_trie_new.argtypes = [ctypes.c_char_p,
@@ -190,3 +196,129 @@ class NativeTrieTokenizer:
             ids[r, :len(row)] = row
             mask[r, :len(row)] = 1.0
         return ids, mask
+
+
+# --------------------------------------------------------------------
+# Native batch-assembly pipeline (native/data_pipeline.cpp)
+# --------------------------------------------------------------------
+
+_PIPE_LIB_PATH = os.path.join(os.path.dirname(__file__), '..', '..',
+                              'native', 'libdata_pipeline.so')
+_PIPE_LIB = None
+_PIPE_TRIED = False
+
+
+def _load_pipeline_library() -> Optional[ctypes.CDLL]:
+    lib = _build_and_load(_PIPE_LIB_PATH)
+    if lib is None:
+        return None
+    lib.ddg_loader_new.restype = ctypes.c_void_p
+    lib.ddg_loader_new.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32]
+    lib.ddg_loader_set_columns.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
+    lib.ddg_loader_start_epoch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
+    lib.ddg_loader_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.ddg_loader_wait.restype = ctypes.c_int32
+    lib.ddg_loader_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.ddg_loader_stop.argtypes = [ctypes.c_void_p]
+    lib.ddg_loader_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def get_pipeline_library() -> Optional[ctypes.CDLL]:
+    global _PIPE_LIB, _PIPE_TRIED
+    if not _PIPE_TRIED:
+        _PIPE_LIB = _load_pipeline_library()
+        _PIPE_TRIED = True
+    return _PIPE_LIB
+
+
+class NativeBatchPipeline:
+    """Multi-threaded batch assembler over in-memory numpy columns.
+
+    The reference's torch DataLoader runs gather/collate in native
+    worker processes (/root/reference/dataloader.py:536-562); this is
+    the framework's equivalent. Row gather runs in C++ threads
+    entirely outside the GIL, writing DIRECTLY into the numpy arrays
+    that will be yielded (the buffers for the next `lookahead` batches
+    are submitted ahead of the consumer, so the critical-path cost of
+    one batch is a condvar wait). Python retains RNG / epoch-order /
+    fault-tolerance semantics (see loader.FaultTolerantLoader).
+
+    Raises RuntimeError at construction when the native library is
+    unavailable — callers fall back to the pure-Python gather.
+    """
+
+    def __init__(self, data, batch_size: int, *, n_threads: int = 2,
+                 lookahead: int = 3):
+        lib = get_pipeline_library()
+        if lib is None:
+            raise RuntimeError('native data pipeline unavailable')
+        self._lib = lib
+        self._names = list(data.keys())
+        # C-contiguous views; kept alive for the pipeline's lifetime.
+        self._cols = [np.ascontiguousarray(data[k]) for k in self._names]
+        self.batch_size = int(batch_size)
+        self.lookahead = max(1, int(lookahead))
+        row_bytes = np.asarray(
+            [c.itemsize * int(np.prod(c.shape[1:], dtype=np.int64))
+             for c in self._cols], np.int64)
+        self._handle = lib.ddg_loader_new(
+            len(self._cols),
+            row_bytes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.batch_size, n_threads)
+        bases = (ctypes.c_void_p * len(self._cols))(
+            *[c.ctypes.data_as(ctypes.c_void_p).value
+              for c in self._cols])
+        lib.ddg_loader_set_columns(self._handle, bases)
+        self._order = None    # keep the epoch permutation alive for C++
+        self._inflight = {}   # seq -> batch dict (C++ writes into it)
+
+    def __del__(self):
+        lib = getattr(self, '_lib', None)
+        if lib is not None and getattr(self, '_handle', None):
+            try:
+                # joins workers before the inflight numpy buffers and
+                # the order array can be released
+                lib.ddg_loader_free(self._handle)
+            except Exception:
+                pass
+            self._handle = None
+
+    def _submit(self, seq: int):
+        outs = [np.empty((self.batch_size,) + c.shape[1:], c.dtype)
+                for c in self._cols]
+        ptrs = (ctypes.c_void_p * len(outs))(
+            *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs])
+        self._inflight[seq] = dict(zip(self._names, outs))
+        self._lib.ddg_loader_submit(self._handle, seq, ptrs)
+
+    def run_epoch(self, order: np.ndarray, start_batch: int = 0):
+        """Yield (batch_index, {col: (B, ...) array}) in order, with
+        the gather running in the background C++ threads."""
+        self._order = np.ascontiguousarray(order, np.int64)
+        self._inflight.clear()
+        self._lib.ddg_loader_start_epoch(
+            self._handle,
+            self._order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(self._order))
+        n_batches = len(self._order) // self.batch_size
+        start_batch = int(start_batch)
+        for b in range(start_batch,
+                       min(start_batch + self.lookahead, n_batches)):
+            self._submit(b)
+        for b in range(start_batch, n_batches):
+            if b + self.lookahead < n_batches:
+                self._submit(b + self.lookahead)
+            if self._lib.ddg_loader_wait(self._handle, b) != 0:
+                return
+            yield b, self._inflight.pop(b)
+
+    def stop(self):
+        self._lib.ddg_loader_stop(self._handle)

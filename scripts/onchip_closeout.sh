@@ -33,10 +33,17 @@ run_leg() {
   fi
 }
 
+#   5. attention A/B      — in-tree Pallas flash attention vs XLA at
+#                           the text8 train shape (kernel-level +
+#                           train-step-level); decides the tpu_flash
+#                           'auto' policy for training
 run_leg drive_verify      2400 python scripts/drive_verify.py
 run_leg validate_fused    5400 python scripts/validate_fused_tpu.py
 run_leg ab_ancestral      3600 python bench.py --ancestral
 run_leg ab_fused_head     5400 python bench.py --ancestral --fused-head
+run_leg attn_kernel_ab    3600 python scripts/bench_attention_flash.py
+run_leg train_xla         2400 python bench.py --train
+run_leg train_flash       3600 python bench.py --train --flash-attn
 run_leg bench_full        7200 python bench.py
 
 echo "=== summary ==="

@@ -241,3 +241,71 @@ def test_loader_raises_when_batch_exceeds_dataset():
         batch_size=8, process_index=0, process_count=1)
     with _pytest.raises(ValueError, match='exceeds'):
         next(iter(loader))
+
+
+class TestNativePipeline:
+    """native/data_pipeline.cpp: the C++ batch assembler must be
+    batch-for-batch identical to the pure-Python gather (RNG and
+    resume state live in Python; C++ only gathers + prefetches)."""
+
+    def _loaders(self, n=200, batch=16, seed=11, **kw):
+        def mk(native):
+            data = {
+                'input_ids': np.arange(n, dtype=np.int64)[:, None]
+                             .repeat(8, 1),
+                'attention_mask': np.ones((n, 8), np.float32),
+                'label': (np.arange(n, dtype=np.int32) % 7),
+            }
+            return FaultTolerantLoader(data, batch, seed=seed,
+                                       process_index=0,
+                                       process_count=1,
+                                       native=native, **kw)
+        return mk(True), mk(False)
+
+    def _skip_if_no_lib(self):
+        import pytest
+        from ddg_tpu.data.native import get_pipeline_library
+        if get_pipeline_library() is None:
+            pytest.skip('native data pipeline not built')
+
+    def test_parity_across_epochs(self):
+        self._skip_if_no_lib()
+        nat, py = self._loaders()
+        it_n, it_p = iter(nat), iter(py)
+        for _ in range(30):  # 200//16=12 batches/epoch: crosses epochs
+            bn, bp = next(it_n), next(it_p)
+            assert set(bn) == set(bp)
+            for k in bp:
+                np.testing.assert_array_equal(bn[k], bp[k])
+                assert bn[k].dtype == bp[k].dtype
+
+    def test_resume_python_to_native(self):
+        self._skip_if_no_lib()
+        nat, py = self._loaders(seed=5)
+        it_p = iter(py)
+        for _ in range(7):
+            next(it_p)
+        nat.load_state_dict(py.state_dict())
+        it_n = iter(nat)
+        for _ in range(10):
+            bn, bp = next(it_n), next(it_p)
+            for k in bp:
+                np.testing.assert_array_equal(bn[k], bp[k])
+
+    def test_native_true_requires_numpy(self):
+        import pytest
+        ld = FaultTolerantLoader({'x': [1, 2, 3]}, 1, native=True,
+                                 process_index=0, process_count=1)
+        with pytest.raises(ValueError):
+            next(iter(ld))
+
+    def test_abandoned_iterator_is_safe(self):
+        """Workers blocked on a full queue must exit when the loader
+        iterator is dropped (no hang, no crash at GC)."""
+        self._skip_if_no_lib()
+        import gc
+        nat, _ = self._loaders(n=512, batch=8)
+        it = iter(nat)
+        next(it)                    # start the epoch, fill the queue
+        del it, nat
+        gc.collect()
