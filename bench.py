@@ -473,7 +473,17 @@ def _backend_ok(timeout=240):
                            capture_output=True, timeout=timeout,
                            text=True, env=dict(os.environ))
         if r.returncode == 0:
-            return True, r.stdout.strip(), False
+            platform = r.stdout.strip().splitlines()[-1]
+            # A fast axon failure makes jax FALL BACK to CPU with only
+            # a warning; recording CPU wall times as chip measurements
+            # would poison the evidence table. Only accept a non-TPU
+            # platform when the caller explicitly asked for it via
+            # JAX_PLATFORMS.
+            requested = os.environ.get('JAX_PLATFORMS', '').strip()
+            if platform != 'tpu' and not requested:
+                return False, (f'backend fell back to {platform!r} '
+                               '(axon tunnel down?)'), False
+            return True, platform, False
         return False, (r.stdout + r.stderr).strip()[-300:], False
     except subprocess.TimeoutExpired:
         return False, f'backend init timed out after {timeout}s', True

@@ -78,11 +78,16 @@ class FaultTolerantLoader:
         """A NativeBatchPipeline per iterator, or None (fallback)."""
         if self.native is False:
             return None
-        usable = all(isinstance(v, np.ndarray) for v in
-                     self.data.values())
+        # POD numpy columns only: an object-dtype column holds raw
+        # PyObject* that the C++ memcpy would copy without refcounting
+        # (over-decref on batch GC -> heap corruption).
+        usable = all(isinstance(v, np.ndarray) and v.dtype != object
+                     for v in self.data.values())
         if not usable:
             if self.native is True:
-                raise ValueError('native loader requires numpy columns')
+                raise ValueError(
+                    'native loader requires numpy columns with '
+                    'non-object dtypes')
             return None
         try:
             from ddg_tpu.data.native import NativeBatchPipeline
@@ -119,6 +124,21 @@ class FaultTolerantLoader:
                 yield {k: v[idx] for k, v in self.data.items()}
             self.state.epoch += 1
             self.state.counter = 0
+
+    def take_first(self) -> Dict[str, np.ndarray]:
+        """Gather the next not-yet-consumed batch via the Python path
+        and advance the resume counter — for the model-init example
+        batch. Behavior-identical to `next(iter(self))` but without
+        spinning up (and abandoning) a native pipeline, its worker
+        threads, and its contiguous column copies for a single batch."""
+        order = self._epoch_order(self.state.epoch)
+        b = self.state.counter // self.batch_size
+        assert (b + 1) * self.batch_size <= len(order), (
+            f'batch_size {self.batch_size} exceeds the {len(order)} '
+            'examples available to this host')
+        idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+        self.state.counter = (b + 1) * self.batch_size
+        return {k: v[idx] for k, v in self.data.items()}
 
     def epoch_batches(self) -> int:
         per_host = self.num_examples // self.process_count

@@ -22,12 +22,20 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), '..', '..',
 
 
 def _build_and_load(path: str) -> Optional[ctypes.CDLL]:
+    """Load the shared library, (re)building it when missing OR stale
+    (source .cpp newer than the .so — a stale binary would load fine
+    and then crash on a changed/missing symbol)."""
     path = os.path.abspath(path)
-    if not os.path.exists(path):
+    src = os.path.join(os.path.dirname(path),
+                       os.path.basename(os.path.splitext(path)[0])
+                       .removeprefix('lib') + '.cpp')
+    stale = (os.path.exists(src) and os.path.exists(path)
+             and os.path.getmtime(src) > os.path.getmtime(path))
+    if not os.path.exists(path) or stale:
         build = os.path.join(os.path.dirname(path), 'build.sh')
         try:
-            subprocess.run(['bash', build], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(['bash', build, os.path.basename(path)],
+                           check=True, capture_output=True, timeout=120)
         except Exception:
             return None
     try:
@@ -40,6 +48,14 @@ def _load_library() -> Optional[ctypes.CDLL]:
     lib = _build_and_load(_LIB_PATH)
     if lib is None:
         return None
+    try:
+        _bind_tokenize_prototypes(lib)
+    except AttributeError:  # symbol missing (stale/foreign binary)
+        return None
+    return lib
+
+
+def _bind_tokenize_prototypes(lib: ctypes.CDLL) -> None:
     lib.ddg_trie_new.restype = ctypes.c_void_p
     lib.ddg_trie_new.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.c_int32),
@@ -58,18 +74,19 @@ def _load_library() -> Optional[ctypes.CDLL]:
     lib.ddg_smiles_tokenize.argtypes = lib.ddg_trie_tokenize.argtypes
     lib.ddg_smiles_tokenize_batch.argtypes = \
         lib.ddg_trie_tokenize_batch.argtypes
-    return lib
 
 
 _LIB = None
-_LIB_TRIED = False
 
 
 def get_library() -> Optional[ctypes.CDLL]:
-    global _LIB, _LIB_TRIED
-    if not _LIB_TRIED:
+    # Success is cached; failure is NOT (a transient condition — g++
+    # missing, read-only checkout — would otherwise disable the native
+    # path for the process lifetime). Retries are rare (one per
+    # tokenizer/loader construction) and fail fast.
+    global _LIB
+    if _LIB is None:
         _LIB = _load_library()
-        _LIB_TRIED = True
     return _LIB
 
 
@@ -205,13 +222,20 @@ class NativeTrieTokenizer:
 _PIPE_LIB_PATH = os.path.join(os.path.dirname(__file__), '..', '..',
                               'native', 'libdata_pipeline.so')
 _PIPE_LIB = None
-_PIPE_TRIED = False
 
 
 def _load_pipeline_library() -> Optional[ctypes.CDLL]:
     lib = _build_and_load(_PIPE_LIB_PATH)
     if lib is None:
         return None
+    try:
+        _bind_pipeline_prototypes(lib)
+    except AttributeError:  # symbol missing (stale/foreign binary)
+        return None
+    return lib
+
+
+def _bind_pipeline_prototypes(lib: ctypes.CDLL) -> None:
     lib.ddg_loader_new.restype = ctypes.c_void_p
     lib.ddg_loader_new.argtypes = [
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
@@ -228,14 +252,13 @@ def _load_pipeline_library() -> Optional[ctypes.CDLL]:
     lib.ddg_loader_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.ddg_loader_stop.argtypes = [ctypes.c_void_p]
     lib.ddg_loader_free.argtypes = [ctypes.c_void_p]
-    return lib
 
 
 def get_pipeline_library() -> Optional[ctypes.CDLL]:
-    global _PIPE_LIB, _PIPE_TRIED
-    if not _PIPE_TRIED:
+    # Success cached, failure retried (see get_library).
+    global _PIPE_LIB
+    if _PIPE_LIB is None:
         _PIPE_LIB = _load_pipeline_library()
-        _PIPE_TRIED = True
     return _PIPE_LIB
 
 
@@ -246,9 +269,11 @@ class NativeBatchPipeline:
     worker processes (/root/reference/dataloader.py:536-562); this is
     the framework's equivalent. Row gather runs in C++ threads
     entirely outside the GIL, writing DIRECTLY into the numpy arrays
-    that will be yielded (the buffers for the next `lookahead` batches
-    are submitted ahead of the consumer, so the critical-path cost of
-    one batch is a condvar wait). Python retains RNG / epoch-order /
+    that will be yielded. Prefetch is bounded on the PYTHON side: the
+    consumer submits at most `lookahead` batches ahead of what it has
+    consumed (the C++ work queue itself never fills up and workers
+    never block on back-pressure), so the critical-path cost of one
+    batch is a condvar wait. Python retains RNG / epoch-order /
     fault-tolerance semantics (see loader.FaultTolerantLoader).
 
     Raises RuntimeError at construction when the native library is

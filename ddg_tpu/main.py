@@ -556,7 +556,7 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
     init_rng, state_rng = jax.random.split(rng)
 
     example = _prep_batch(config, spec,
-                          next(iter(loader)), accum=accum)
+                          loader.take_first(), accum=accum)
     ex_ids = example['input_ids'].reshape(-1,
                                           example['input_ids'].shape[-1])
     sigma0 = None if spec.parameterization == 'ar' else jnp.ones((1,))
@@ -707,7 +707,8 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
             if bool(config.eval.generate_samples):
                 _log_validation_samples(config, spec, apply_fn, state,
                                         tokenizer, metrics_log, step,
-                                        model_cfg=model_cfg)
+                                        model_cfg=model_cfg,
+                                        batch_multiple=eval_batch_multiple)
         ckpt.maybe_save_last(step, state,
                              loader_state=loader.state_dict())
         if snap_every and step % snap_every == 0:
@@ -746,15 +747,18 @@ def _flexible_truncate(config, batch, tokenizer, rng):
 
 
 def _log_validation_samples(config, spec, apply_fn, state, tokenizer,
-                            metrics_log, step, model_cfg=None):
+                            metrics_log, step, model_cfg=None,
+                            batch_multiple: int = 1):
     """Sample generation during validation (reference
     on_validation_epoch_end, diffusion.py:945-1004): a couple of
     sequences (per class when guidance is configured) logged to the
-    metrics stream."""
+    metrics stream. batch_multiple: same divisibility constraint as
+    validate() — under strategy=pp the pipelined apply shards over
+    data x microbatches, so the sampling batch must be a multiple."""
     from ddg_tpu.runtime.averaging import averaged_params as _avg
     params = _avg(state.averaging, state.params)
     cfg = Config(config.to_dict())
-    cfg.sampling['batch_size'] = 2
+    cfg.sampling['batch_size'] = -(-2 // batch_multiple) * batch_multiple
     try:
         if (config.training.get('guidance') is not None
                 and config.data.get('num_classes')):
@@ -851,7 +855,7 @@ def train_classifier(config: Config):
     loader = FaultTolerantLoader(data['train'], batch_size,
                                  seed=int(config.seed))
     rng = jax.random.PRNGKey(int(config.seed))
-    ex = next(iter(loader))
+    ex = loader.take_first()
     sigma0 = (None if (clf_spec.parameterization == 'ar'
                        or clf_spec.is_eval_classifier)
               else jnp.ones((1,)))
@@ -1002,7 +1006,12 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
                          decode_cfg=decode_cfg)
     mesh = None
     if (jax.device_count() > 1
-            and bool(config.sampling.get('shard', True))):
+            and bool(config.sampling.get('shard', True))
+            # A mesh-coupled apply (pipeline shard_map, ring
+            # attention, TP/SP constraints) distributes itself; an
+            # outer shard_map would nest it in a fully-Manual mesh
+            # context and trip a mesh-mismatch error.
+            and not getattr(apply_fn, '_mesh_coupled', False)):
         m = build_mesh(config)
         if batch_size % m.shape['data'] == 0:
             mesh = m

@@ -41,6 +41,14 @@ def make_model_apply(module):
             return_hidden_states=return_hidden_states, rngs=rngs,
             **kwargs)
 
+    # Mesh-coupled backbones (TP/SP sharding constraints, ring
+    # attention's ambient-mesh shard_map, DiMamba sequence-parallel
+    # scan) cannot run inside another shard_map's fully-Manual mesh
+    # context — main.sample must take the direct-jit path for them.
+    mcfg = getattr(module, 'cfg', None)
+    apply._mesh_coupled = bool(
+        getattr(mcfg, 'tensor_axis', None)
+        or getattr(mcfg, 'sequence_axis', None))
     return apply
 
 

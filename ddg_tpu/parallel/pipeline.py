@@ -183,4 +183,8 @@ def make_pipeline_apply(cfg, mesh: Mesh, n_micro: int,
         in_specs=(P(axis), P(batch_axis), P(batch_axis), P(), P()),
         out_specs=P(batch_axis), check_vma=False)
 
+    # The apply carries its own shard_map over (pipe, data): callers
+    # (main.sample) must NOT wrap it in another shard_map — nesting
+    # would put the inner shard_map inside a fully-Manual mesh context.
+    apply._mesh_coupled = True
     return apply

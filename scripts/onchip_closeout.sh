@@ -19,7 +19,14 @@
 #   4. bench refresh      — full six-workload bench.py
 set -uo pipefail
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD:${PYTHONPATH:-/root/.axon_site}"
+# /root/.axon_site is LOAD-BEARING for the axon TPU plugin (CLAUDE.md):
+# append it unconditionally so a caller-exported PYTHONPATH that lacks
+# it can't silently turn all "on-chip" legs into CPU runs.
+case ":${PYTHONPATH:-}:" in
+  *:/root/.axon_site:*) ;;
+  *) PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}/root/.axon_site" ;;
+esac
+export PYTHONPATH="$PWD:$PYTHONPATH"
 LOGDIR="${LOGDIR:-/tmp/onchip_closeout}"
 mkdir -p "$LOGDIR"
 

@@ -300,8 +300,12 @@ class TestNativePipeline:
             next(iter(ld))
 
     def test_abandoned_iterator_is_safe(self):
-        """Workers blocked on a full queue must exit when the loader
-        iterator is dropped (no hang, no crash at GC)."""
+        """Dropping the iterator mid-epoch (with `lookahead` batches
+        submitted ahead, possibly still being gathered) must join the
+        C++ workers via __del__ before the inflight numpy buffers are
+        released — no hang, no crash at GC. (The C++ queue is
+        unbounded; back-pressure lives in the Python submit window, so
+        there is no blocked-producer state to exercise.)"""
         self._skip_if_no_lib()
         import gc
         nat, _ = self._loaders(n=512, batch=8)
