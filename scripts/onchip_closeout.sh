@@ -44,6 +44,9 @@ run_leg() {
 #                           the text8 train shape (kernel-level +
 #                           train-step-level); decides the tpu_flash
 #                           'auto' policy for training
+#   6. first-hitting B-sweep — the driver headline runs B=32; if B=48
+#                           or B=64 amortizes the unmask-tail better,
+#                           flip the bench default (same metric).
 run_leg drive_verify      2400 python scripts/drive_verify.py
 run_leg validate_fused    5400 python scripts/validate_fused_tpu.py
 run_leg ab_ancestral      3600 python bench.py --ancestral
@@ -51,6 +54,8 @@ run_leg ab_fused_head     5400 python bench.py --ancestral --fused-head
 run_leg attn_kernel_ab    3600 python scripts/bench_attention_flash.py
 run_leg train_xla         2400 python bench.py --train
 run_leg train_flash       3600 python bench.py --train --flash-attn
+run_leg fh_b48            2400 python bench.py --first-hitting --batch 48
+run_leg fh_b64            2400 python bench.py --first-hitting --batch 64
 run_leg bench_full        7200 python bench.py
 
 echo "=== summary ==="
