@@ -1,6 +1,8 @@
 """Data layer tests: tokenizer round-trips, dataset shaping, loader
 fault tolerance."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -313,3 +315,55 @@ class TestNativePipeline:
         next(it)                    # start the epoch, fill the queue
         del it, nat
         gc.collect()
+
+    def test_object_dtype_columns_never_reach_cpp(self):
+        """object-dtype columns hold raw PyObject*: the C++ memcpy
+        would copy pointers without refcounting. auto falls back to
+        the Python gather; native=True refuses."""
+        data = {'input_ids': np.arange(32, dtype=np.int32).reshape(8, 4),
+                'meta': np.array([{'k': i} for i in range(8)],
+                                 dtype=object)}
+        ld = FaultTolerantLoader(dict(data), 4, native='auto',
+                                 process_index=0, process_count=1)
+        batch = next(iter(ld))
+        assert batch['meta'].dtype == object
+        with pytest.raises(ValueError, match='object'):
+            next(iter(FaultTolerantLoader(dict(data), 4, native=True,
+                                          process_index=0,
+                                          process_count=1)))
+
+    def test_take_first_matches_iter(self):
+        """take_first (the model-init example path) must be
+        bit-identical to next(iter(loader)) including the resume
+        counter, so training skips the same batch either way."""
+        a, _ = self._loaders(n=64, batch=8)
+        b, _ = self._loaders(n=64, batch=8)
+        fa, fb = a.take_first(), next(iter(b))
+        for k in fa:
+            np.testing.assert_array_equal(fa[k], fb[k])
+        assert a.state_dict() == b.state_dict()
+        na, nb = next(iter(a)), None
+        it = iter(b)
+        nb = next(it)
+        for k in na:
+            np.testing.assert_array_equal(na[k], nb[k])
+
+    @pytest.mark.slow
+    def test_tsan_stress_gate(self):
+        """Race-detection gate (native/check_tsan.sh): the stress
+        driver + pipeline built under ThreadSanitizer must run clean
+        (epoch churn, mid-flight abandonment, stop-vs-wait race).
+        Skips when the sandbox can't run TSAN (ASLR/ptrace limits),
+        fails on an actual race report (exitcode 66)."""
+        import subprocess
+        root = os.path.join(os.path.dirname(__file__), '..')
+        r = subprocess.run(
+            ['bash', os.path.join(root, 'native', 'check_tsan.sh')],
+            capture_output=True, text=True, timeout=600)
+        if r.returncode == 0:
+            assert 'no races detected' in r.stdout
+            return
+        blob = r.stdout + r.stderr
+        if r.returncode == 66 or 'WARNING: ThreadSanitizer' in blob:
+            raise AssertionError(f'data race detected:\n{blob[-3000:]}')
+        pytest.skip(f'TSAN unavailable in this sandbox: {blob[-300:]}')
