@@ -3,8 +3,10 @@
 Parity with the reference guidance_eval suites:
   * QM9 (guidance_eval/qm9_eval.py:88-204): validity / uniqueness /
     novelty and property stats on the novel subset. RDKit is optional
-    in this environment; validity uses RDKit when importable and a
-    syntactic SMILES checker otherwise (flagged in the result).
+    in this environment; without it, validity/canonicalization/ring
+    counts come from the in-tree valence+kekulization checker
+    (guidance_eval/chem.py, flagged `native-valence` in the result);
+    QED stays RDKit-only.
   * Amazon-Polarity (amazon_polarity_eval.py:66-124): n-gram diversity
     + classifier accuracy.
   * Species10 (ten_species_eval.py:298-523): classifier accuracy / F1
@@ -42,60 +44,36 @@ def rdkit_available() -> bool:
         return False
 
 
-def _syntactic_smiles_valid(smiles: str) -> bool:
-    """Cheap structural check (balanced parens/brackets, paired ring
-    bonds, non-empty) for environments without RDKit. NOT a chemistry
-    check — results carry a `validity_checker` flag."""
-    if not smiles:
-        return False
-    depth = 0
-    bracket = False
-    rings = Counter()
-    for ch in smiles:
-        if ch == '(':
-            depth += 1
-        elif ch == ')':
-            depth -= 1
-            if depth < 0:
-                return False
-        elif ch == '[':
-            if bracket:
-                return False
-            bracket = True
-        elif ch == ']':
-            if not bracket:
-                return False
-            bracket = False
-        elif ch.isdigit() and not bracket:
-            rings[ch] += 1
-    return (depth == 0 and not bracket
-            and all(v % 2 == 0 for v in rings.values()))
-
-
 def molecule_metrics(samples: List[str],
                      train_set: Optional[Sequence[str]] = None) -> Dict:
-    """Valid / unique / novel fractions (qm9_eval.py:133-160)."""
+    """Valid / unique / novel fractions (qm9_eval.py:133-160).
+
+    With RDKit absent, validity and canonicalization come from the
+    in-tree valence/kekulization checker (guidance_eval/chem.py);
+    uniqueness and novelty compare OUR canonical forms on both sides
+    (train set re-canonicalized with the same function), so the
+    metrics stay internally consistent. Divergence from RDKit: no
+    Hückel anti-aromaticity check and no stereo — flagged via
+    `validity_checker: native-valence`."""
     use_rdkit = rdkit_available()
     if use_rdkit:
         from rdkit import Chem
-        canonical = []
-        for s in samples:
-            mol = _rdkit_mol(s)
-            if mol is not None:
-                canonical.append(Chem.MolToSmiles(mol))
-        valid = canonical
+        canon = lambda s: (lambda m: Chem.MolToSmiles(m)
+                           if m is not None else None)(_rdkit_mol(s))
     else:
-        valid = [s for s in samples if _syntactic_smiles_valid(s)]
+        from ddg_tpu.guidance_eval.chem import canonical_smiles as canon
+    valid = [c for c in (canon(s) for s in samples) if c is not None]
     n = max(len(samples), 1)
     unique = set(valid)
     out = {
         'num_samples': len(samples),
-        'validity_checker': 'rdkit' if use_rdkit else 'syntactic',
+        'validity_checker': 'rdkit' if use_rdkit else 'native-valence',
         'valid_frac': len(valid) / n,
         'unique_frac': (len(unique) / len(valid)) if valid else 0.0,
     }
     if train_set is not None:
-        train = set(train_set)
+        train = {c for c in (canon(s) for s in train_set)
+                 if c is not None}
         novel = [s for s in unique if s not in train]
         out['novel_frac'] = (len(novel) / len(unique)) if unique else 0.0
         out['novel'] = novel
@@ -104,16 +82,10 @@ def molecule_metrics(samples: List[str],
 
 def qed_stats(smiles: List[str]) -> Dict:
     """QED + ring-count mean/percentiles on molecules
-    (qm9_eval.py:160-192). Requires RDKit."""
-    from rdkit import Chem
-    from rdkit.Chem import QED
-    qeds, rings = [], []
-    for s in smiles:
-        mol = Chem.MolFromSmiles(s)
-        if mol is None:
-            continue
-        qeds.append(QED.qed(mol))
-        rings.append(mol.GetRingInfo().NumRings())
+    (qm9_eval.py:160-192). Ring counts are pure graph math (cycle
+    rank == RDKit SSSR size) and come from the in-tree checker when
+    RDKit is absent; QED needs RDKit's Crippen/TPSA/alert tables and
+    is reported null without it."""
     def stats(v):
         v = np.asarray(v, np.float64)
         if not len(v):
@@ -122,7 +94,22 @@ def qed_stats(smiles: List[str]) -> Dict:
                 'p25': float(np.percentile(v, 25)),
                 'p50': float(np.percentile(v, 50)),
                 'p75': float(np.percentile(v, 75))}
-    return {'qed': stats(qeds), 'ring_count': stats(rings)}
+
+    if rdkit_available():
+        from rdkit import Chem
+        from rdkit.Chem import QED
+        qeds, rings = [], []
+        for s in smiles:
+            mol = Chem.MolFromSmiles(s)
+            if mol is None:
+                continue
+            qeds.append(QED.qed(mol))
+            rings.append(mol.GetRingInfo().NumRings())
+        return {'qed': stats(qeds), 'ring_count': stats(rings)}
+    from ddg_tpu.guidance_eval.chem import ring_count
+    rings = [r for r in (ring_count(s) for s in smiles)
+             if r is not None]
+    return {'qed': None, 'ring_count': stats(rings)}
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,8 @@ def qm9_guidance_eval(spec, sampler: SamplerSpec, model_apply, params,
             texts.extend(tokenizer.batch_decode(np.asarray(out)))
         res = {'gamma': float(gamma),
                **gm.molecule_metrics(texts, train_set=train_smiles)}
-        if gm.rdkit_available() and res.get('novel'):
+        if res.get('novel'):
+            # ring stats are native (cycle rank); QED is null w/o RDKit
             res.update(gm.qed_stats(res['novel']))
         res.pop('novel', None)
         res['samples_preview'] = texts[:8]

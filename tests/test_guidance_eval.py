@@ -6,13 +6,14 @@ from ddg_tpu.guidance_eval import metrics as gm
 
 
 class TestMoleculeMetrics:
-    def test_syntactic_validity(self):
-        assert gm._syntactic_smiles_valid('CC(=O)N')
-        assert gm._syntactic_smiles_valid('c1ccccc1')
-        assert not gm._syntactic_smiles_valid('CC(=O')     # unbalanced (
-        assert not gm._syntactic_smiles_valid('c1ccccc')   # unpaired ring
-        assert not gm._syntactic_smiles_valid('C[NH2')     # unclosed [
-        assert not gm._syntactic_smiles_valid('')
+    def test_native_validity(self):
+        from ddg_tpu.guidance_eval.chem import is_valid_smiles
+        assert is_valid_smiles('CC(=O)N')
+        assert is_valid_smiles('c1ccccc1')
+        assert not is_valid_smiles('CC(=O')     # unbalanced (
+        assert not is_valid_smiles('c1ccccc')   # unpaired ring
+        assert not is_valid_smiles('C[NH2')     # unclosed [
+        assert not is_valid_smiles('')
 
     def test_valid_unique_novel(self):
         samples = ['CC', 'CC', 'CCO', 'C(=O', 'N']
