@@ -356,6 +356,14 @@ def validate(mol: Mol) -> Optional[str]:
     kek = _kekulize(mol)
     if kek is None:
         return 'unkekulizable aromatic system'
+    if any(a.aromatic for a in mol.atoms):
+        # RDKit-parity strictness: lowercase atoms must sit in a ring
+        # the (simplified) Hückel rule actually perceives as aromatic —
+        # rejects c1ccc1 (4n pi) and acyclic aromatic atoms.
+        arom_atoms, _ = _perceive_aromatic(mol, kek)
+        for i, a in enumerate(mol.atoms):
+            if a.aromatic and i not in arom_atoms:
+                return 'aromatic atom outside an aromatic ring'
     sums = {i: 0.0 for i in range(len(mol.atoms))}
     for (a, b), o in kek.items():
         sums[a] += o
@@ -381,6 +389,145 @@ def is_valid_smiles(s: str) -> bool:
         return validate(parse_smiles(s)) is None
     except SmilesError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Aromaticity perception (simplified Hückel, RDKit-default-like)
+# ---------------------------------------------------------------------------
+
+def _find_rings(mol: Mol, max_len: int = 10,
+                max_paths: int = 20000) -> List[List[int]]:
+    """All simple cycles up to max_len atoms (deduplicated by their
+    frozen atom set). Molecules here are small (QM9 <= 9 heavy atoms,
+    ZINC ~40); the path budget guards pathological fused systems —
+    on overflow we return what we found (perception then errs
+    lenient)."""
+    n = len(mol.atoms)
+    adj = {i: sorted(mol.neighbors(i)) for i in range(n)}
+    seen = set()
+    rings: List[List[int]] = []
+    budget = [max_paths]
+
+    def dfs(start: int, u: int, path: List[int], on_path: set):
+        if budget[0] <= 0:
+            return
+        budget[0] -= 1
+        for v in adj[u]:
+            if v == start and len(path) >= 3:
+                key = frozenset(path)
+                if key not in seen:
+                    seen.add(key)
+                    rings.append(list(path))
+            elif (v > start and v not in on_path
+                  and len(path) < max_len):
+                path.append(v)
+                on_path.add(v)
+                dfs(start, v, path, on_path)
+                path.pop()
+                on_path.remove(v)
+
+    for s in range(n):
+        dfs(s, s, [s], {s})
+    return rings
+
+
+def _pi_contribution(mol: Mol, kek, ring_atoms: set,
+                     all_ring_atoms: set, i: int) -> Optional[int]:
+    """Pi electrons atom i contributes to its ring's Hückel count, or
+    None when the atom breaks conjugation (sp3, triple bond, degree>3,
+    exocyclic double bond to a chain atom)."""
+    a = mol.atoms[i]
+    nbrs = mol.neighbors(i)
+    if len(nbrs) > 3:
+        return None
+    dbl_in_ring = dbl_other = dbl_chain = False
+    for j in nbrs:
+        o = kek[(min(i, j), max(i, j))]
+        if o >= 3.0:
+            return None
+        if o == 2.0:
+            if j in ring_atoms:
+                dbl_in_ring = True
+            elif j in all_ring_atoms:
+                dbl_other = True
+            else:
+                dbl_chain = True
+    if dbl_in_ring or dbl_other:       # fused kekulizations count
+        return 1
+    h = _total_h(mol, kek, i)
+    conn = len(nbrs) + h
+    if a.element == 'C':
+        if dbl_chain:
+            return 0                   # quinone-type: sp2, no pi here
+        if a.charge == 1 and conn == 3:
+            return 0                   # tropylium
+        if a.charge == -1 and conn == 3:
+            return 2                   # cyclopentadienyl anion
+        return None                    # sp3 carbon breaks the ring
+    if a.element in ('N', 'P'):
+        if a.charge == 0 and conn == 3:
+            return 2                   # pyrrole-type lone pair
+        if a.charge == -1 and conn == 2:
+            return 2                   # deprotonated azole
+        return None
+    if a.element in ('O', 'S'):
+        if a.charge == 0 and conn == 2:
+            return 2                   # furan / thiophene
+        return None
+    if a.element == 'B':
+        return 0 if conn == 3 else None  # borole-type empty orbital
+    return None
+
+
+def _perceive_aromatic(mol: Mol, kek) -> Tuple[set, set]:
+    """(aromatic_atoms, aromatic_bonds) of the kekulized graph by the
+    simplified Hückel rule: a simple ring whose atoms all conjugate
+    and whose pi total is 4n+2. Fused envelopes are covered by the
+    ring enumeration itself (simple cycles up to length 10 include
+    e.g. azulene's 10-periphery)."""
+    rings = _find_rings(mol)
+    all_ring_atoms = {i for r in rings for i in r}
+    arom_atoms: set = set()
+    arom_bonds: set = set()
+    for ring in rings:
+        rset = set(ring)
+        total = 0
+        ok = True
+        for i in ring:
+            c = _pi_contribution(mol, kek, rset, all_ring_atoms, i)
+            if c is None:
+                ok = False
+                break
+            total += c
+        if ok and total >= 2 and (total - 2) % 4 == 0:
+            arom_atoms |= rset
+            for k in range(len(ring)):
+                a, b = ring[k], ring[(k + 1) % len(ring)]
+                arom_bonds.add((min(a, b), max(a, b)))
+    return arom_atoms, arom_bonds
+
+
+def _rebuild_perceived(mol: Mol, kek) -> Mol:
+    """Normalized Mol: aromatic flags/bonds from perception of the
+    kekulized graph (input spelling — Kekulé vs lowercase — no longer
+    matters), explicit H pinned on aromatic N/P so the result
+    re-kekulizes unambiguously (pyrrole-type n must stay [nH])."""
+    arom_atoms, arom_bonds = _perceive_aromatic(mol, kek)
+    atoms = []
+    for i, a in enumerate(mol.atoms):
+        arom = i in arom_atoms
+        h = _total_h(mol, kek, i)
+        if arom and a.element in ('N', 'P') and h > 0:
+            atoms.append(Atom(a.element, aromatic=True, charge=a.charge,
+                              h_count=h, bracket=True))
+        else:
+            atoms.append(Atom(a.element, aromatic=arom,
+                              charge=a.charge, h_count=a.h_count,
+                              bracket=a.bracket))
+    bonds = {}
+    for e, o in kek.items():
+        bonds[e] = 1.5 if e in arom_bonds else o
+    return Mol(atoms, bonds)
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +651,11 @@ def canonicalize_mol(mol: Mol) -> str:
     independent up to refinement symmetry: ties left by Morgan
     refinement are broken by input index, which is order-invariant
     whenever the tied atoms are automorphic (true for molecule-like
-    graphs; pathological regular graphs could in principle differ)."""
+    graphs; pathological regular graphs could in principle differ).
+    Aromaticity is re-perceived from the kekulized graph first, so
+    Kekulé and lowercase spellings of the same molecule canonicalize
+    identically."""
+    mol = _rebuild_perceived(mol, _kekulize(mol))
     kek = _kekulize(mol)
     rank = _canonical_ranks(mol, kek)
     n = len(mol.atoms)
@@ -531,7 +682,8 @@ def canonicalize_mol(mol: Mol) -> str:
                     continue
                 e = (min(u, v), max(u, v))
                 if v in seen:
-                    if e not in tree_edges and e not in ring_ids:
+                    if (e not in tree_edges and e not in ring_ids
+                            and e not in back_edges):
                         back_edges.append(e)
                 else:
                     seen.add(v)

@@ -71,6 +71,37 @@ def test_canonical_invariance_and_idempotency():
         assert C.canonical_smiles(c) == c, ('not idempotent', g, c)
 
 
+def test_aromaticity_perception_merges_spellings():
+    """Kekulé-form and lowercase spellings of the same aromatic ring
+    must canonicalize identically (RDKit parity via simplified Hückel
+    perception); non-aromatic rings must stay distinct."""
+    pairs = [
+        ('C1=CC=CC=C1', 'c1ccccc1'),
+        ('CC1=CC=CC=C1', 'Cc1ccccc1'),
+        ('C1=CC=NC=C1', 'c1ccncc1'),
+        ('C1=CC=CO1', 'c1ccoc1'),
+        ('C1=CC=CN1', 'c1cc[nH]c1'),        # pyrrole N-H inferred
+        ('C1=CC2=CC=CC=C2C=C1', 'c1ccc2ccccc2c1'),
+    ]
+    for kek, arom in pairs:
+        a, b = C.canonical_smiles(kek), C.canonical_smiles(arom)
+        assert a == b and a is not None, (kek, arom, a, b)
+    assert (C.canonical_smiles('C1CCCCC1')
+            != C.canonical_smiles('c1ccccc1'))
+    # cyclohexadienone ring stays non-aromatic (quinone-type)
+    assert C.canonical_smiles('O=C1C=CC(=O)C=C1') is not None
+
+
+def test_huckel_strictness():
+    """Lowercase atoms outside a perceived aromatic ring are invalid
+    (RDKit behavior): 4n-pi rings and acyclic aromatic atoms."""
+    assert not C.is_valid_smiles('c1ccc1')    # cyclobutadiene, 4 pi
+    assert not C.is_valid_smiles('[nH]C')     # acyclic aromatic atom
+    assert not C.is_valid_smiles('cc')        # aromatic chain
+    assert C.is_valid_smiles('C1=CC1')        # Kekulé ring: fine
+    assert C.is_valid_smiles('C1=CC=CC=C1')   # Kekulé benzene: fine
+
+
 def test_canonical_distinguishes_distinct_molecules():
     mols = ['CCO', 'CC=O', 'CCN', 'COC', 'c1ccccc1', 'C1CCCCC1',
             'CC(=O)O', 'CC(=O)[O-]', 'CCC', 'CC#N', 'CNC']
@@ -124,7 +155,7 @@ def test_canonical_invariant_under_atom_permutation():
     toks = ['C', 'c', 'N', 'n', 'O', 'o', 'S', 'F', '(', ')', '=',
             '#', '1', '2', '[nH]', '[N+]', '[O-]', 'Cl']
     checked = 0
-    for _ in range(2000):
+    for _ in range(6000):
         s = ''.join(rs.choice(toks) for _ in range(rs.randint(2, 26)))
         c = C.canonical_smiles(s)
         if c is None:
