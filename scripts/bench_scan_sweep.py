@@ -39,6 +39,14 @@ if '--pps' in sys.argv:
     SWEEP = [(8, jnp.float32, 'hybrid'), (4, jnp.float32, 'pps'),
              (8, jnp.float32, 'pps'), (16, jnp.float32, 'pps'),
              (32, jnp.float32, 'pps')]
+# bf16 retest under pps: the round-3 bf16 negative result was measured
+# on the hybrid impl, whose Hillis-Steele levels hit the sub-32-bit
+# roll fallback (slice+concat per level). The pps inner loop is
+# shift-free (static slices only), so bf16's halved VPU width can now
+# show up. Runs at the model-default tiles (512/256 fwd/bwd).
+if '--pps-bf16' in sys.argv:
+    SWEEP = [(32, jnp.float32, 'pps'), (32, jnp.bfloat16, 'pps'),
+             (64, jnp.bfloat16, 'pps'), (16, jnp.bfloat16, 'pps')]
 # Sweep the OTHER kernel knobs under pps: (chunk, d_tile, d_tile_bwd,
 # seg). Baseline first = current defaults.
 SWEEP2 = [(128, 256, 128, 32), (256, 256, 128, 32),
