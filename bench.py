@@ -134,7 +134,7 @@ def _mfu(flops, dt):
 
 
 def _lm1b_setup(quick, *, causal=False, num_classes=2,
-                bf16_head=True, pallas_attn=False):
+                bf16_head=True, pallas_attn=False, int8=False):
     from __graft_entry__ import _flagship
     from ddg_tpu.models import DIT, make_model_apply
 
@@ -146,6 +146,8 @@ def _lm1b_setup(quick, *, causal=False, num_classes=2,
         cfg = dataclasses.replace(cfg, logits_dtype=jnp.bfloat16)
     if pallas_attn:
         cfg = dataclasses.replace(cfg, pallas_attention=True)
+    if int8:
+        cfg = dataclasses.replace(cfg, quant_int8=True)
     model = DIT(cfg)
     apply_fn = make_model_apply(model)
     rng = jax.random.PRNGKey(0)
@@ -169,7 +171,8 @@ def bench_sampling(args, first_hitting):
         # superlinearly in tokens past 2B=48; see README).
         batch = args.batch or 24
         fused, steps = args.fused is not False, args.steps
-    spec, cfg, apply_fn, params = _lm1b_setup(args.quick)
+    spec, cfg, apply_fn, params = _lm1b_setup(
+        args.quick, int8=bool(getattr(args, 'int8', False)))
     if args.quick:
         batch, steps = 4, 16
     sampler = SamplerSpec(steps=steps, use_cache=bool(args.cache),
@@ -201,9 +204,10 @@ def bench_sampling(args, first_hitting):
     sps = batch / dt / jax.device_count()
     name = ('first-hitting ~ T=inf exact' if first_hitting
             else f'T={steps}')
+    tag = ', int8' if getattr(args, 'int8', False) else ''
     return _emit(
         f'LM1B D-CFG samples/sec/chip ({name}, B={batch}, '
-        + ('tiny' if args.quick else 'DiT-small') + ')',
+        + ('tiny' if args.quick else 'DiT-small') + tag + ')',
         sps, 'samples/sec/chip',
         sps / A100_BASELINE_SAMPLES_PER_SEC, _mfu(flops, dt))
 
@@ -507,6 +511,10 @@ def main():
                    action='store_true',
                    help='fold the vocab projection into the sampling '
                         'kernel (ancestral; A/B vs plain --ancestral)')
+    p.add_argument('--int8', action='store_true',
+                   help='opt-in int8 dynamic-quant trunk+head for the '
+                        'sampling workloads (A/B vs the bf16 default; '
+                        '2x MXU rate on v5e, ops/quant.py)')
     p.add_argument('--flash-attn', dest='flash_attn',
                    action='store_true',
                    help='use the in-tree Pallas TPU flash-attention '

@@ -162,6 +162,7 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             pallas_attention=mc.get('pallas_attention', 'auto'),
             fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
             tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'),
+            quant_int8=bool(mc.get('quant_int8', False)),
             tensor_axis=('tensor' if _tensor_devices(config) > 1
                          else None),
             tp_mode=_tp_mode(config))
@@ -247,7 +248,8 @@ def build_classifier_model(config: Config, spec):
                            else jnp.float32),
             pallas_attention=mc.get('pallas_attention', 'auto'),
             fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
-            tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'))
+            tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'),
+            quant_int8=bool(mc.get('quant_int8', False)))
         model = DITClassifier(cfg, num_classes=num_classes,
                               pooling=pooling)
         return model, cfg, make_classifier_apply(model)
@@ -990,6 +992,25 @@ def sample(config: Config, spec, apply_fn, params, *, tokenizer,
     if guidance is not None and guidance.method == 'cfg':
         cond = jnp.full((batch_size,), guidance.condition, jnp.int32)
     dit_cfg = model_cfg if isinstance(model_cfg, DITConfig) else None
+    if guidance is not None and (
+            guidance.method == 'nos'
+            or (guidance.method == 'cbg' and guidance.use_approx)
+            or guidance.method == 'pplm'):
+        # These methods differentiate through the model head/trunk
+        # (NOS/PPLM) or the classifier trunk (CBG-approx); int8's
+        # round() would silently zero those gradients — refuse loudly.
+        # CBG-exact only does forwards, so it stays quant-compatible.
+        if dit_cfg is not None and dit_cfg.quant_int8:
+            raise ValueError(
+                f'guidance.method={guidance.method} backpropagates '
+                'through the denoiser head; model.quant_int8 must be '
+                'off (jnp.round kills the gradient)')
+        if bool(config.get('classifier_model', {})
+                .get('quant_int8', False)):
+            raise ValueError(
+                f'guidance.method={guidance.method} backpropagates '
+                'through the classifier; classifier_model.quant_int8 '
+                'must be off (jnp.round kills the gradient)')
     if spec.parameterization == 'ar':
         # Stateful decode fast path (DiT KV cache / DiMamba conv+SSM
         # state; the reference's InferenceParams path,

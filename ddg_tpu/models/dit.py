@@ -99,6 +99,17 @@ class DITConfig:
     # Mesh axis carrying the batch shard, used only in the tensor-
     # parallel activation constraints so they don't wipe data sharding.
     batch_axis: str = 'data'
+    # Opt-in int8 dynamic-quant inference (ops/quant.py): the trunk
+    # denses (qkv/out/mlp) and the vocab head run s8 x s8 -> s32 on the
+    # MXU at 2x the bf16 rate (v5e: 394.5 TOPS vs 197 TFLOP/s).
+    # Weights quantize per output channel (hoisted out of the sampling
+    # scan — params are loop-invariant), activations per token row on
+    # the fly. Param tree is unchanged (bf16-trained checkpoints load
+    # as-is). Inference-only: train-mode use raises. Default OFF — the
+    # 1e-3 reference-parity bar stays on the bf16/fp32 path; the
+    # sampling-distribution impact is TV-validated on chip
+    # (scripts/validate_quant_tpu.py) like the fused kernels were.
+    quant_int8: bool = False
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -195,6 +206,17 @@ class DDiTBlock(nn.Module):
         cfg = self.cfg
         dim = cfg.hidden_size
         dt = cfg.compute_dtype
+        if cfg.quant_int8 and train:
+            raise ValueError(
+                'quant_int8 is an inference-only transform (jnp.round '
+                'kills gradients); train with it off and flip it on '
+                'for sampling/eval')
+        # int8 quant applies to the four big trunk matmuls; the tiny
+        # zero-init adaLN modulation projection stays in compute_dtype.
+        if cfg.quant_int8:
+            from ddg_tpu.ops.quant import QDense as Dense
+        else:
+            Dense = nn.Dense
 
         use_adaLN = cfg.use_adaLN and c is not None
         if use_adaLN:
@@ -213,8 +235,8 @@ class DDiTBlock(nn.Module):
         h = AdaLNLayerNorm(dim, name='norm1')(x)
         if use_adaLN:
             h = modulate(h, shift_msa, scale_msa)
-        qkv = nn.Dense(3 * dim, use_bias=False, dtype=dt,
-                       name='attn_qkv')(h)
+        qkv = Dense(3 * dim, use_bias=False, dtype=dt,
+                    name='attn_qkv')(h)
         B, L = x.shape[0], x.shape[1]
         head_dim = dim // cfg.n_heads
         qkv = qkv.reshape(B, L, 3, cfg.n_heads, head_dim)
@@ -300,7 +322,7 @@ class DDiTBlock(nn.Module):
         elif cfg.tensor_axis and cfg.tp_mode in ('sequence', 'ring'):
             attn = _tp_constrain(attn, cfg.batch_axis,
                                  cfg.tensor_axis, None)
-        h = nn.Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
+        h = Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         if use_adaLN:
             h = gate_msa[:, None] * h
@@ -311,13 +333,13 @@ class DDiTBlock(nn.Module):
         h = AdaLNLayerNorm(dim, name='norm2')(x)
         if use_adaLN:
             h = modulate(h, shift_mlp, scale_mlp)
-        h = nn.Dense(4 * dim, use_bias=True, dtype=dt, name='mlp_in')(h)
+        h = Dense(4 * dim, use_bias=True, dtype=dt, name='mlp_in')(h)
         h = nn.gelu(h, approximate=True)
         if cfg.tensor_axis and cfg.tp_mode == 'heads':
             h = _tp_constrain(h, cfg.batch_axis, None, cfg.tensor_axis)
         elif cfg.tensor_axis and cfg.tp_mode in ('sequence', 'ring'):
             h = _tp_constrain(h, cfg.batch_axis, cfg.tensor_axis, None)
-        h = nn.Dense(dim, use_bias=True, dtype=dt, name='mlp_out')(h)
+        h = Dense(dim, use_bias=True, dtype=dt, name='mlp_out')(h)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         if use_adaLN:
             h = gate_mlp[:, None] * h
@@ -404,11 +426,20 @@ class DIT(nn.Module):
                            name='final_adaLN')(c)
             shift, scale = jnp.split(mod, 2, axis=-1)
             h = modulate(h, shift, scale)
-        logits = nn.Dense(cfg.vocab_size,
-                          kernel_init=nn.initializers.zeros,
-                          bias_init=nn.initializers.zeros,
-                          dtype=cfg.logits_dtype, name='output_linear')(
-            h.astype(cfg.logits_dtype))
+        if cfg.quant_int8:
+            from ddg_tpu.ops.quant import QDense
+            logits = QDense(cfg.vocab_size,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            dtype=cfg.logits_dtype,
+                            name='output_linear')(h)
+        else:
+            logits = nn.Dense(cfg.vocab_size,
+                              kernel_init=nn.initializers.zeros,
+                              bias_init=nn.initializers.zeros,
+                              dtype=cfg.logits_dtype,
+                              name='output_linear')(
+                h.astype(cfg.logits_dtype))
         if return_hidden_states:
             return logits, hidden
         return logits
@@ -516,6 +547,11 @@ def dit_head_matmul(cfg: DITConfig, params, feats):
     logits tensor to fp32 — an extra half-gigabyte HBM round-trip per
     sampling step at the LM1B scale."""
     dt = cfg.logits_dtype
+    if cfg.quant_int8:
+        from ddg_tpu.ops.quant import int8_dense
+        return int8_dense(feats, params['output_linear']['kernel'],
+                          params['output_linear']['bias'],
+                          out_dtype=dt)
     h = feats.astype(dt)
     logits = h @ params['output_linear']['kernel'].astype(dt) \
         + params['output_linear']['bias'].astype(dt)

@@ -30,8 +30,16 @@ run_leg() {
   fi
 }
 
-run_leg scan_vs_xla 3600 python scripts/bench_selective_scan.py
-run_leg pps_bf16    5400 python scripts/bench_scan_sweep.py --pps-bf16
+#   3. quant legs   — int8 dynamic-quant path: distribution validation
+#                     (TV vs the 4000-draw eval noise floor) + the
+#                     first-hitting / ancestral A/B vs the bf16 default
+#                     (the driver-headline sampler is MXU-bound at ~75%
+#                     of bf16 peak; int8 MXU rate is 2x on v5e).
+run_leg scan_vs_xla    3600 python scripts/bench_selective_scan.py
+run_leg pps_bf16       5400 python scripts/bench_scan_sweep.py --pps-bf16
+run_leg validate_quant 2400 python scripts/validate_quant_tpu.py
+run_leg fh_int8        2400 python bench.py --first-hitting --int8
+run_leg ancestral_int8 3600 python bench.py --ancestral --int8
 
 echo "=== summary ==="
 tail -n 4 "$LOGDIR"/*.log
