@@ -205,6 +205,8 @@ def bench_sampling(args, first_hitting):
     name = ('first-hitting ~ T=inf exact' if first_hitting
             else f'T={steps}')
     tag = ', int8' if getattr(args, 'int8', False) else ''
+    if getattr(args, 'fused_head', False):
+        tag += ', fused-head'
     return _emit(
         f'LM1B D-CFG samples/sec/chip ({name}, B={batch}, '
         + ('tiny' if args.quick else 'DiT-small') + tag + ')',
@@ -271,6 +273,10 @@ def bench_train_text8(args):
         B = args.batch or 256
     if getattr(args, 'flash_attn', False):
         cfg = dataclasses.replace(cfg, tpu_flash_attn=True)
+    if getattr(args, 'attn_bf16', False):
+        cfg = dataclasses.replace(cfg, attn_probs_bf16=True)
+    if getattr(args, 'attn_remat', False):
+        cfg = dataclasses.replace(cfg, attn_remat=True)
     accum = max(1, getattr(args, 'accum', 1))
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
@@ -314,9 +320,16 @@ def bench_train_text8(args):
     tok_s = B * cfg.length / dt / jax.device_count()
     n_chips = jax.device_count()
     baseline = A100_EFFECTIVE_FLOPS / (flops / (B * cfg.length))
+    tag = (f', accum={accum}' if accum > 1 else '')
+    if getattr(args, 'flash_attn', False):
+        tag += ', flash-attn'
+    if getattr(args, 'attn_bf16', False):
+        tag += ', attn-bf16'
+    if getattr(args, 'attn_remat', False):
+        tag += ', attn-remat'
     return _emit(
         f'text8 train tokens/sec/chip (DiT-small, L={cfg.length}, '
-        f'B={B}' + (f', accum={accum}' if accum > 1 else '') + ')',
+        f'B={B}' + tag + ')',
         tok_s, 'tokens/sec/chip', tok_s / baseline,
         _mfu(flops / n_chips, dt))
 
@@ -344,6 +357,11 @@ def bench_dimamba(args):
         cfg = DiMambaConfig(hidden_size=256, n_blocks=8, length=32768,
                             vocab_size=16, num_classes=10)
         B = 2
+    if getattr(args, 'xla_scan', False):
+        # A/B: XLA chunked associative scan instead of the Pallas
+        # kernel; block remat back on (the XLA path stores h per
+        # direction without it and OOMs at this shape).
+        cfg = dataclasses.replace(cfg, pallas_scan=False, remat=True)
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
                          vocab_size=cfg.vocab_size,
@@ -379,7 +397,9 @@ def bench_dimamba(args):
     return _emit(
         f'Species10 DiMamba train tokens/sec/chip (hidden '
         f'{cfg.hidden_size}, {cfg.n_blocks} blocks, L={cfg.length}, '
-        f'B={B})', tok_s, 'tokens/sec/chip', None,
+        f'B={B}'
+        + (', xla-scan' if getattr(args, 'xla_scan', False) else '')
+        + ')', tok_s, 'tokens/sec/chip', None,
         _mfu(flops / jax.device_count(), dt),
         step_seconds=round(dt, 4))
 
@@ -519,6 +539,16 @@ def main():
                    action='store_true',
                    help='use the in-tree Pallas TPU flash-attention '
                         'kernel in --train (A/B vs XLA attention)')
+    p.add_argument('--attn-bf16', dest='attn_bf16', action='store_true',
+                   help='bf16 attention probs in --train '
+                        '(DITConfig.attn_probs_bf16 A/B)')
+    p.add_argument('--attn-remat', dest='attn_remat',
+                   action='store_true',
+                   help='remat attention in --train backward '
+                        '(DITConfig.attn_remat A/B)')
+    p.add_argument('--xla-scan', dest='xla_scan', action='store_true',
+                   help='--dimamba with the XLA associative scan '
+                        '(+block remat) instead of the Pallas kernel')
     # workload selectors (default: full suite)
     p.add_argument('--first-hitting', action='store_true')
     p.add_argument('--ancestral', action='store_true')
@@ -560,6 +590,16 @@ def main():
         ('dimamba', lambda: bench_dimamba(args)),
         ('unet', lambda: bench_unet(args)),
     ]
+    if run_all and not args.int8:
+        # Extra default-suite line: the headline sampler with the
+        # opt-in int8 trunk+head (distribution-validated on chip,
+        # scripts/validate_quant_tpu.py; +8% at B=32 on v5e). The
+        # FIRST line stays the bf16 parity path — stable driver metric.
+        int8_args = argparse.Namespace(**{**vars(args), 'int8': True})
+        workloads.append(
+            ('first_hitting_int8',
+             lambda: bench_sampling(int8_args, True)))
+        selected['first_hitting_int8'] = False
     for name, fn in workloads:
         if not (run_all or selected[name]):
             continue

@@ -162,6 +162,8 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             pallas_attention=mc.get('pallas_attention', 'auto'),
             fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
             tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'),
+            attn_probs_bf16=mc.get('attn_probs_bf16', 'auto'),
+            attn_remat=mc.get('attn_remat', 'auto'),
             quant_int8=bool(mc.get('quant_int8', False)),
             tensor_axis=('tensor' if _tensor_devices(config) > 1
                          else None),
@@ -249,6 +251,8 @@ def build_classifier_model(config: Config, spec):
             pallas_attention=mc.get('pallas_attention', 'auto'),
             fused_rope_attn=mc.get('fused_rope_attn', 'auto'),
             tpu_flash_attn=mc.get('tpu_flash_attn', 'auto'),
+            attn_probs_bf16=mc.get('attn_probs_bf16', 'auto'),
+            attn_remat=mc.get('attn_remat', 'auto'),
             quant_int8=bool(mc.get('quant_int8', False)))
         model = DITClassifier(cfg, num_classes=num_classes,
                               pooling=pooling)

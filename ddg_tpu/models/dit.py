@@ -21,6 +21,7 @@ for NOS guidance (dit.py:426-467).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -74,6 +75,25 @@ class DITConfig:
     # measured on v5e at B=256 L=256 H=12 D=64, see
     # scripts/bench_attention_flash.py); True opts in for long-L runs.
     tpu_flash_attn: 'str | bool' = 'auto'
+    # Hand-rolled einsum attention with bf16 (B, H, L, L) probs across
+    # the two matmul boundaries (softmax statistics fp32). On-chip A/B
+    # at B=256 L=256 H=12 D=64 (scripts/bench_attention_flash.py)
+    # found XLA's dot_product_attention ALREADY keeps the probs in
+    # bf16 — this path is grad-bit-identical to it and lands within
+    # ±1.5% (fwd 6.30 vs 6.21 ms, fwd+bwd 12.19 vs 12.31 ms); every
+    # variant tried (einsum fp32/bf16, library flash block_b 1/8)
+    # plateaus at ~6.2/12.3 ms, so attention at DiT shapes sits at
+    # XLA's floor. Kept because it is pure-XLA and composes with
+    # attn_remat below. 'auto' resolves OFF (throughput-neutral).
+    attn_probs_bf16: 'str | bool' = 'auto'
+    # Rematerialize attention in the backward pass (jax.checkpoint
+    # over the scores->softmax->PV region): the residual probs
+    # (~400 MB bf16 x 12 blocks at B=256 L=256) are never stored —
+    # the flash-attention memory trade in plain XLA, costing one extra
+    # QK^T recompute (+0.46 ms/block fwd+bwd measured, ~1% of the
+    # step). Use to fit bigger per-chip batches (B=512 single-shot
+    # OOMs at 20.5G vs 15.75G HBM without it). 'auto' resolves OFF.
+    attn_remat: 'str | bool' = 'auto'
     # Megatron-style tensor parallelism (beyond the reference): name of
     # the mesh axis to shard attention heads + MLP hidden over. When
     # set, blocks emit with_sharding_constraint hints (bare
@@ -170,6 +190,28 @@ class AdaLNLayerNorm(nn.Module):
         var = jnp.maximum(m2 - m1 * m1, 0.0)
         y = (x32 - m1) * jax.lax.rsqrt(var + 1e-5)
         return (y * w[None, None, :]).astype(x.dtype)
+
+
+def einsum_attention(q, k, v, *, causal: bool,
+                     probs_dtype=jnp.bfloat16, remat: bool = False):
+    """Hand-rolled SDPA with an explicit probs dtype (see
+    DITConfig.attn_probs_bf16). (B, L, H, D) layout, fp32 softmax
+    statistics, probs cast to `probs_dtype` before the PV matmul."""
+    def inner(q, k, v):
+        scale = 1.0 / math.sqrt(q.shape[-1])
+        s = jnp.einsum('blhd,bmhd->bhlm', q, k,
+                       preferred_element_type=jnp.float32) * scale
+        if causal:
+            L = q.shape[1]
+            mask = jnp.tril(jnp.ones((L, L), jnp.bool_))
+            s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(probs_dtype)
+        return jnp.einsum('bhlm,bmhd->blhd', p, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(v.dtype)
+    if remat:
+        inner = jax.checkpoint(inner)
+    return inner(q, k, v)
 
 
 def modulate(x, shift, scale):
@@ -313,8 +355,23 @@ class DDiTBlock(nn.Module):
             else:
                 # ring mode falls back here outside a mesh context
                 # (model.init) or on a 1-sized axis.
-                attn = jax.nn.dot_product_attention(
-                    q, k, v, is_causal=cfg.causal)
+                bf16_probs = (cfg.attn_probs_bf16
+                              if isinstance(cfg.attn_probs_bf16, bool)
+                              else False)
+                attn_remat = (cfg.attn_remat
+                              if isinstance(cfg.attn_remat, bool)
+                              else False)
+                if bf16_probs:
+                    attn_fn = functools.partial(
+                        einsum_attention, causal=cfg.causal,
+                        probs_dtype=jnp.bfloat16)
+                else:
+                    attn_fn = functools.partial(
+                        jax.nn.dot_product_attention,
+                        is_causal=cfg.causal)
+                if attn_remat:
+                    attn_fn = jax.checkpoint(attn_fn)
+                attn = attn_fn(q, k, v)
         attn = attn.reshape(B, L, dim)
         if cfg.tensor_axis and cfg.tp_mode == 'heads':
             attn = _tp_constrain(attn, cfg.batch_axis, None,

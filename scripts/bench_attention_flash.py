@@ -44,13 +44,42 @@ def xla_attn(q, k, v, causal):
     return jax.nn.dot_product_attention(q, k, v, is_causal=causal)
 
 
-def flash_attn(q, k, v, causal, block=None):
+def einsum_attn(q, k, v, causal, probs_dtype=jnp.float32, remat=False):
+    """Hand-rolled attention with an explicit probs dtype.
+
+    XLA's dot_product_attention keeps the (B, H, L, L) scores/probs in
+    fp32 across the two matmul boundaries (~800 MB at the text8 train
+    shape), so the op is HBM-bound. Casting the probs to bf16 halves
+    that traffic; `remat` wraps the whole region in jax.checkpoint so
+    the backward pass recomputes scores from q/k instead of storing
+    residual probs at all (QK^T recompute is <1 ms of MXU time here).
+    Pure XLA: partitions under GSPMD (usable with tensor parallelism),
+    unlike the Pallas kernels.
+    """
+    def inner(q, k, v):
+        scale = 1.0 / math.sqrt(q.shape[-1])
+        s = jnp.einsum('blhd,bmhd->bhlm', q, k,
+                       preferred_element_type=jnp.float32) * scale
+        if causal:
+            L = q.shape[1]
+            mask = jnp.tril(jnp.ones((L, L), jnp.bool_))
+            s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(probs_dtype)
+        return jnp.einsum('bhlm,bmhd->blhd', p, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(v.dtype)
+    if remat:
+        inner = jax.checkpoint(inner)
+    return inner(q, k, v)
+
+
+def flash_attn(q, k, v, causal, block=None, block_b=1):
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
     sizes = None
     if block is not None:
         b = block
         sizes = fa.BlockSizes(
-            block_q=b, block_k_major=b, block_k=b, block_b=1,
+            block_q=b, block_k_major=b, block_k=b, block_b=block_b,
             block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
             block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
             block_q_dq=b)
@@ -110,22 +139,34 @@ def check(B, L, H, D, causal):
     def loss(attn_fn, q, k, v):
         return jnp.sum(attn_fn(q, k, v, causal).astype(jnp.float32) ** 2)
 
-    for name, fn in (('xla', xla_attn), ('flash', flash_attn)):
+    for name, fn in (
+            ('xla', xla_attn),
+            ('flash', flash_attn),
+            ('einsum-bf16',
+             functools.partial(einsum_attn, probs_dtype=jnp.bfloat16)),
+            ('einsum-bf16-remat',
+             functools.partial(einsum_attn, probs_dtype=jnp.bfloat16,
+                               remat=True))):
         f = jax.jit(jax.value_and_grad(
             functools.partial(loss, fn), argnums=(0, 1, 2)))
-        val, grads = f(q, k, v)
+        try:
+            val, grads = f(q, k, v)
+        except ValueError as e:  # Pallas has no CPU lowering
+            print(f'check {name}: skipped ({e})', flush=True)
+            continue
         yield name, float(val), [jnp.asarray(g, jnp.float32) for g in grads]
 
 
 def run_check(B, L, H, D, causal):
-    (n0, v0, g0), (n1, v1, g1) = check(B, L, H, D, causal)
-    rel = abs(v1 - v0) / (abs(v0) + 1e-9)
-    gerr = max(float(jnp.max(jnp.abs(a - b))) /
-               (float(jnp.max(jnp.abs(a))) + 1e-9)
-               for a, b in zip(g0, g1))
-    print(f'check causal={causal}: loss rel-err {rel:.2e}, '
-          f'max grad rel-err {gerr:.2e}', flush=True)
-    assert rel < 2e-2 and gerr < 5e-2, 'flash vs xla mismatch'
+    (n0, v0, g0), *rest = check(B, L, H, D, causal)
+    for n1, v1, g1 in rest:
+        rel = abs(v1 - v0) / (abs(v0) + 1e-9)
+        gerr = max(float(jnp.max(jnp.abs(a - b))) /
+                   (float(jnp.max(jnp.abs(a))) + 1e-9)
+                   for a, b in zip(g0, g1))
+        print(f'check {n1} vs xla causal={causal}: loss rel-err '
+              f'{rel:.2e}, max grad rel-err {gerr:.2e}', flush=True)
+        assert rel < 2e-2 and gerr < 5e-2, f'{n1} vs xla mismatch'
 
 
 def main():
@@ -137,6 +178,9 @@ def main():
     p.add_argument('--causal', action='store_true')
     p.add_argument('--check', action='store_true',
                    help='assert flash matches XLA (values + grads)')
+    p.add_argument('--block-b', type=int, nargs='*', default=[1, 8, 32],
+                   dest='block_b',
+                   help='flash BlockSizes.block_b values to sweep')
     args = p.parse_args()
     B, L, H, D = args.shape
     K = args.iters
@@ -144,14 +188,29 @@ def main():
           f'(K={K} scan-amortized)', flush=True)
     if args.check:
         run_check(min(B, 8), L, H, D, args.causal)
+    variants = [
+        ('xla dot_product_attention', xla_attn),
+        ('einsum probs=fp32',
+         functools.partial(einsum_attn, probs_dtype=jnp.float32)),
+        ('einsum probs=bf16',
+         functools.partial(einsum_attn, probs_dtype=jnp.bfloat16)),
+        ('einsum bf16 + remat',
+         functools.partial(einsum_attn, probs_dtype=jnp.bfloat16,
+                           remat=True)),
+        ('pallas flash (default 128)', flash_attn),
+    ]
+    for bb in args.block_b:
+        variants.append(
+            (f'pallas flash (b={min(256, L)} block_b={bb})',
+             functools.partial(flash_attn, block=min(256, L),
+                               block_b=bb)))
     for bwd in (False, True):
-        bench('xla dot_product_attention', xla_attn, B, L, H, D, K,
-              args.causal, bwd)
-        bench('pallas flash (default 128)', flash_attn, B, L, H, D, K,
-              args.causal, bwd)
-        bench('pallas flash (block=256)',
-              functools.partial(flash_attn, block=min(256, L)),
-              B, L, H, D, K, args.causal, bwd)
+        for name, fn in variants:
+            try:
+                bench(name, fn, B, L, H, D, K, args.causal, bwd)
+            except Exception as e:  # noqa: BLE001 — sweep survives a leg
+                print(f'{name:28s} {"fwd+bwd" if bwd else "fwd":8s} '
+                      f'FAILED: {type(e).__name__}: {e}', flush=True)
 
 
 if __name__ == '__main__':

@@ -614,3 +614,38 @@ class TestAttentionKnobSurface:
         spec = M.build_diffusion_spec(config, tok)
         _, mcfg, _ = M.build_model(config, spec)
         assert mcfg.tpu_flash_attn == 'auto'
+        assert mcfg.attn_probs_bf16 == 'auto'
+        assert mcfg.attn_remat == 'auto'
+
+    def test_attn_bf16_knobs_reach_config_and_match(self, tmp_path):
+        """attn_probs_bf16/attn_remat reach DITConfig from CLI, and the
+        einsum attention path produces logits matching the XLA path
+        (bf16 probs cost ~1e-3 relative; remat is bit-exact fwd)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        config = _tiny_config(tmp_path, extra=(
+            '+model.attn_probs_bf16=True', '+model.attn_remat=True'))
+        from ddg_tpu.data.tokenizers import get_tokenizer
+        tok = get_tokenizer('text8')
+        spec = M.build_diffusion_spec(config, tok)
+        model, mcfg, apply_fn = M.build_model(config, spec)
+        assert mcfg.attn_probs_bf16 is True
+        assert mcfg.attn_remat is True
+
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.randint(rng, (2, mcfg.length), 0,
+                               mcfg.vocab_size - 1)
+        sigma = jnp.full((2,), 0.5)
+        params = model.init(rng, x, sigma)['params']
+        out_einsum = apply_fn(params, x, sigma, train=False)
+
+        from ddg_tpu.models import DIT
+        base = DIT(dataclasses.replace(mcfg, attn_probs_bf16=False,
+                                       attn_remat=False))
+        out_xla = base.apply({'params': params}, x, sigma, train=False)
+        err = float(jnp.max(jnp.abs(out_einsum - out_xla)))
+        scale = float(jnp.max(jnp.abs(out_xla))) + 1e-9
+        assert err / scale < 2e-2, f'einsum vs xla logits: {err / scale}'
