@@ -217,14 +217,124 @@ def _suffix_scan_pps(a_up, w, *, seg: int = 8):
     return (loc + q_cum * nxt).reshape(C, N_, d_)
 
 
+def _pps2_entries(h0, a4, b4):
+    """Per-segment TRUE entry states for the seeded-recompute ('pps2')
+    schedule: run the local recurrence once keeping only the running
+    (state, product) pair — no per-step storage — then resolve the
+    cross-segment carries with a log-depth scan over the m segment
+    summaries. Returns ent (m, 1, N, d) with ent_0 = h0."""
+    m, seg = a4.shape[0], a4.shape[1]
+    h = jnp.zeros((m, 1) + a4.shape[2:], a4.dtype)
+    p = None
+    for j in range(seg):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        b_j = jax.lax.slice_in_dim(b4, j, j + 1, axis=1)
+        h = a_j * h + b_j
+        p = a_j if p is None else p * a_j
+    A_cum, B_resp = _hs_scan(p, h)                  # over axis 0, m
+    g_end = A_cum * h0[None, None] + B_resp
+    ent = _shift_fwd(g_end, 1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 0)
+    return jnp.where(ids == 0, h0[None, None].astype(ent.dtype), ent)
+
+
+def _chunk_states_pps2(h0, a, b, *, seg: int = 8):
+    """`_chunk_states_pps` with the fix-up replaced by a SEEDED
+    RECOMPUTE: pass 1 computes only the m segment summaries (running
+    state + running product, nothing stored per step), a tiny scan
+    yields each segment's true entry state, and pass 2 re-runs the
+    recurrence from those seeds — the emitted states are globally
+    correct directly. Trades one extra FMA pass for never
+    materializing the (C, N, d) p_cum tensor or paying the 2-op
+    fix-up, and halves the number of big concats."""
+    C, N_, d_ = a.shape
+    m = C // seg
+    if C % seg or m < 2:
+        return _chunk_states(h0, a, b, seg=seg)
+    a4 = a.reshape(m, seg, N_, d_)
+    b4 = b.reshape(m, seg, N_, d_)
+    h = _pps2_entries(h0, a4, b4)
+    outs = []
+    for j in range(seg):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        b_j = jax.lax.slice_in_dim(b4, j, j + 1, axis=1)
+        h = a_j * h + b_j
+        outs.append(h)
+    return jnp.concatenate(outs, axis=1).reshape(C, N_, d_)
+
+
+def _fwd_fused_pps2(h0, a, b, Cc, *, seg: int = 8):
+    """Seeded-recompute forward with the C-readout FUSED into the
+    inner loop: returns (y_scan (C, d) = sum_n Cc_n * h_n, h_last
+    (N, d)). The full (C, N, d) state tensor never exists — pass 2
+    reduces each step's (m, 1, N, d) slab over N immediately, so the
+    only per-step storage is the (m, 1, d) readout row (16x smaller
+    at N=16)."""
+    C, N_, d_ = a.shape
+    m = C // seg
+    if C % seg or m < 2:
+        h_all = _chunk_states(h0, a, b, seg=seg)
+        y = jnp.sum(h_all.astype(jnp.float32) * Cc[..., None], axis=1)
+        return y, _time_row(h_all, -1).astype(jnp.float32)
+    a4 = a.reshape(m, seg, N_, d_)
+    b4 = b.reshape(m, seg, N_, d_)
+    c4 = Cc.reshape(m, seg, N_)
+    h = _pps2_entries(h0, a4, b4)
+    ys = []
+    for j in range(seg):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        b_j = jax.lax.slice_in_dim(b4, j, j + 1, axis=1)
+        c_j = jax.lax.slice_in_dim(c4, j, j + 1, axis=1)  # (m, 1, N)
+        h = a_j * h + b_j
+        ys.append(jnp.sum(h.astype(jnp.float32)
+                          * c_j[..., None].astype(jnp.float32),
+                          axis=2))                        # (m, 1, d)
+    y = jnp.concatenate(ys, axis=1).reshape(C, d_)
+    h_last = jax.lax.slice_in_dim(h, m - 1, m, axis=0).reshape(N_, d_)
+    return y, h_last.astype(jnp.float32)
+
+
+def _suffix_scan_pps2(a_up, w, *, seg: int = 8):
+    """`_suffix_scan_pps` with the seeded-recompute schedule,
+    right-to-left (see _chunk_states_pps2)."""
+    C, N_, d_ = a_up.shape
+    m = C // seg
+    if C % seg or m < 2:
+        return _suffix_scan(a_up, w, seg=seg)
+    a4 = a_up.reshape(m, seg, N_, d_)
+    w4 = w.reshape(m, seg, N_, d_)
+    dh = jnp.zeros((m, 1, N_, d_), a_up.dtype)
+    q = None
+    for j in reversed(range(seg)):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        w_j = jax.lax.slice_in_dim(w4, j, j + 1, axis=1)
+        dh = w_j + a_j * dh
+        q = a_j if q is None else a_j * q
+    _, dh_starts = _hs_scan(q, dh, reverse=True)    # over axis 0, m
+    nxt = _shift_rev(dh_starts, 1)      # dh at next segment's start
+    ids = jax.lax.broadcasted_iota(jnp.int32, nxt.shape, 0)
+    dh = jnp.where(ids == m - 1, jnp.zeros((), nxt.dtype), nxt)
+    outs = [None] * seg
+    for j in reversed(range(seg)):
+        a_j = jax.lax.slice_in_dim(a4, j, j + 1, axis=1)
+        w_j = jax.lax.slice_in_dim(w4, j, j + 1, axis=1)
+        dh = w_j + a_j * dh
+        outs[j] = dh
+    return jnp.concatenate(outs, axis=1).reshape(C, N_, d_)
+
+
+_STATES_IMPL = {'hybrid': _chunk_states, 'pps': _chunk_states_pps,
+                'pps2': _chunk_states_pps2}
+_SUFFIX_IMPL = {'hybrid': _suffix_scan, 'pps': _suffix_scan_pps,
+                'pps2': _suffix_scan_pps2}
+
+
 def _states(h0, a, b, *, seg, impl):
-    fn = _chunk_states_pps if impl == 'pps' else _chunk_states
-    return fn(h0, a, b, seg=seg)
+    return _STATES_IMPL[impl](h0, a, b, seg=seg)
 
 
 def _suffix(a_up, w, *, seg, impl):
-    fn = _suffix_scan_pps if impl == 'pps' else _suffix_scan
-    return fn(a_up, w, seg=seg)
+    return _SUFFIX_IMPL[impl](a_up, w, seg=seg)
 
 
 def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
@@ -254,12 +364,20 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # in the scratch so error does not compound across chunks).
     a = a.astype(scan_dtype)
     b = b.astype(scan_dtype)
-    h_all = _states(h0.astype(scan_dtype), a, b, seg=seg,
-                    impl=scan_impl).astype(jnp.float32)
-    h_scr[...] = _time_row(h_all, -1)
+    if scan_impl == 'pps2':
+        # Seeded-recompute schedule with the N-readout fused into the
+        # inner loop: the (C, N, d) state tensor never materializes.
+        y_scan, h_last = _fwd_fused_pps2(h0.astype(scan_dtype), a, b,
+                                         Cc, seg=seg)
+        h_scr[...] = h_last
+        y_pre = y_scan + dvec * u
+    else:
+        h_all = _states(h0.astype(scan_dtype), a, b, seg=seg,
+                        impl=scan_impl).astype(jnp.float32)
+        h_scr[...] = _time_row(h_all, -1)
+        y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
     # Fused epilogue: y = (scan + D*u) * silu(z) — three elementwise
     # HBM passes of the unfused chain folded into the kernel.
-    y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
     y_ref[0] = y_pre * (z * jax.nn.sigmoid(z))
 
 
@@ -446,8 +564,12 @@ def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
     within-chunk scan; scan_dtype = in-kernel dtype of the
     affine-scan FMAs (bfloat16 halves VPU width; cross-chunk state
     stays fp32); scan_impl = 'hybrid' (sequential over segments,
-    log-depth within) or 'pps' (parallel over segments, sequential
-    within — no shift/mask overhead in the inner loop).
+    log-depth within), 'pps' (parallel over segments, sequential
+    within — no shift/mask overhead in the inner loop), or 'pps2'
+    (pps with a seeded-recompute second pass instead of the rank-1
+    fix-up: no p_cum materialization, and the forward fuses the
+    N-readout into the inner loop so the (C, N, d) state tensor never
+    exists in VMEM).
     """
     y, _ = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                      d_tile=d_tile, interpret=interpret, seg=seg,

@@ -73,8 +73,42 @@ if '--pps3' in sys.argv:
              in SWEEP3]
 if '--pps4' in sys.argv:
     SWEEP = list(SWEEP4)
+# pps vs pps2 (seeded recompute + fused fwd readout, no h_all/p_cum
+# materialization). pps2's smaller VMEM footprint may unlock chunk=256
+# configs that OOM'd under pps. Entries: (impl, chunk, tf, tb, seg,
+# seg_bwd); baseline first = current model default.
+SWEEP5 = [('pps',  128, 512, 256, 32, 32),    # current default
+          ('pps2', 128, 512, 256, 32, 32),
+          ('pps2', 128, 512, 256, 64, 32),
+          ('pps2', 128, 512, 256, 16, 16),
+          ('pps2', 256, 512, 256, 32, 32),
+          ('pps2', 256, 512, 256, 64, 64),
+          ('pps2', 512, 512, 256, 64, 32)]
+if '--pps5' in sys.argv:
+    SWEEP = list(SWEEP5)
+# Grid-overhead probe: vary the grid-step count (B x d/tf x L/chunk)
+# at ~fixed total work to find the per-step fixed cost. tb kept small
+# at big chunk so the bwd (more live arrays) has VMEM headroom.
+SWEEP6 = [('pps2', 128, 512, 256, 64, 32),    # 512 steps (best so far)
+          ('pps2', 256, 256, 256, 64, 32),    # 512 steps, same VMEM
+          ('pps2', 512, 256, 128, 64, 32),    # 256 steps
+          ('pps2', 512, 128, 128, 64, 32),    # 512 fwd / 512 bwd
+          ('pps2', 1024, 128, 128, 64, 32),   # 256 fwd steps
+          ('pps2', 256, 256, 256, 128, 64)]   # longer inner seg
+if '--pps6' in sys.argv:
+    SWEEP = list(SWEEP6)
 for entry in SWEEP:
-    if '--pps2' in sys.argv or '--pps3' in sys.argv \
+    if '--pps5' in sys.argv or '--pps6' in sys.argv:
+        impl, chunk, tile_f, tile_b, seg, seg_bwd = entry
+        dt = jnp.float32
+        tag = (f'{impl:>4} chunk={chunk:>3} tf={tile_f} tb={tile_b} '
+               f'seg={seg:>2}/{seg_bwd:>2}')
+        one = (lambda *a, impl=impl, chunk=chunk, tile_f=tile_f,
+               tile_b=tile_b, seg=seg, seg_bwd=seg_bwd:
+               selective_scan_pallas(
+                   *a, chunk=chunk, d_tile=tile_f, d_tile_bwd=tile_b,
+                   seg=seg, seg_bwd=seg_bwd, scan_impl=impl))
+    elif '--pps2' in sys.argv or '--pps3' in sys.argv \
             or '--pps4' in sys.argv:
         if len(entry) == 5:
             chunk, tile_f, tile_b, seg, seg_bwd = entry
@@ -121,10 +155,16 @@ for entry in SWEEP:
         rel = float(jnp.max(jnp.abs(y - ref))
                     / (jnp.max(jnp.abs(ref)) + 1e-9))
         t_f = timeit(fwdK, u, delta, A, Bc, Cc, D, z, iters=3) / K
-        t_fb = timeit(fbK, u, delta, A, Bc, Cc, D, z, iters=3) / K
     except Exception as e:  # e.g. VMEM overflow at big chunk x tile
-        print(f'{tag}: FAILED {type(e).__name__}: {str(e)[:120]}',
+        print(f'{tag}: fwd FAILED {type(e).__name__}: {str(e)[:120]}',
               flush=True)
         continue
-    print(f'{tag}: fwd {t_f*1e3:7.2f} ms  '
-          f'fwd+bwd {t_fb*1e3:7.2f} ms  rel-err {rel:.2e}', flush=True)
+    print(f'{tag}: fwd {t_f*1e3:7.2f} ms  rel-err {rel:.2e}',
+          flush=True)
+    try:  # bwd separately: a VMEM-OOM here shouldn't hide the fwd win
+        t_fb = timeit(fbK, u, delta, A, Bc, Cc, D, z, iters=3) / K
+    except Exception as e:
+        print(f'{tag}: fwd+bwd FAILED {type(e).__name__}: '
+              f'{str(e)[:120]}', flush=True)
+        continue
+    print(f'{tag}: fwd+bwd {t_fb*1e3:7.2f} ms', flush=True)

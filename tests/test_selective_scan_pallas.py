@@ -214,3 +214,41 @@ def test_pps_scan_impl_matches():
     for name, a, b in zip(names, g_pps, g_ref):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
                                    err_msg=f'grad mismatch: {name}')
+
+
+def test_pps2_scan_impl_matches():
+    """'pps2' (seeded-recompute pps; forward fuses the N-readout into
+    the inner loop so h_all never materializes) is also a pure
+    schedule change: values and all seven gradients must match."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=10)
+    w = jax.random.normal(jax.random.PRNGKey(11), (B, L, D))
+    args = (u, delta, A, Bc, Cc, Dp, z)
+    pps2 = functools.partial(selective_scan_pallas, chunk=CHUNK,
+                             d_tile=8, d_tile_bwd=8, interpret=True,
+                             seg=4, seg_bwd=4, scan_impl='pps2')
+    y_pps2 = pps2(*args)
+    y_ref = _pallas(*args)
+    np.testing.assert_allclose(y_pps2, y_ref, rtol=2e-5, atol=2e-5)
+
+    def loss(fn, *a):
+        return (fn(*a) * w).sum()
+
+    g_pps2 = jax.grad(functools.partial(loss, pps2),
+                      argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(functools.partial(loss, _pallas),
+                     argnums=tuple(range(7)))(*args)
+    names = ['u', 'delta', 'A', 'B', 'C', 'D', 'z']
+    for name, a, b in zip(names, g_pps2, g_ref):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=f'grad mismatch: {name}')
+
+
+def test_pps2_nonaligned_seg_falls_back():
+    """seg not dividing the chunk falls back to the hybrid scan —
+    values still correct."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=12)
+    y = selective_scan_pallas(u, delta, A, Bc, Cc, Dp, z, chunk=CHUNK,
+                              d_tile=8, d_tile_bwd=8, interpret=True,
+                              seg=7, scan_impl='pps2')
+    np.testing.assert_allclose(y, _pallas(u, delta, A, Bc, Cc, Dp, z),
+                               rtol=2e-5, atol=2e-5)
