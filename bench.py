@@ -109,10 +109,14 @@ def _timeit(fn, args, iters, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
+    # Sustained timing: sync ONCE after the window. The single-chip
+    # axon runtime executes queued dispatches in order, so the final
+    # pull bounds all of them; syncing per call adds ~30 ms
+    # dispatch+RTT each (see DESIGN.md round-4 correction).
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        _sync(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -307,15 +311,19 @@ def bench_train_text8(args):
                                  cfg.n_blocks)
                  + dit_head_flops(B, cfg.length, cfg.hidden_size,
                                   cfg.vocab_size))
-    # donation: thread the state through the timing loop; _sync pulls
-    # the loss each step (block_until_ready is unreliable on axon).
+    # donation: thread the state through the timing loop. Sustained
+    # async-dispatch timing: ONE host sync after the window (queued
+    # executions pipeline on the axon runtime — syncing per step adds
+    # ~30 ms dispatch+RTT per step, measured 292 vs 262 ms/step on
+    # DiMamba); the sequential state dependency guarantees every step
+    # ran before the final loss pull.
     state, m = step(state, batch)
     _sync(m['loss'])
     iters = 1 if args.quick else 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-        _sync(m['loss'])
+    _sync(m['loss'])
     dt = (time.perf_counter() - t0) / iters
     tok_s = B * cfg.length / dt / jax.device_count()
     n_chips = jax.device_count()
@@ -387,11 +395,12 @@ def bench_dimamba(args):
                                 bidirectional=cfg.bidirectional)
     state, m = step(state, batch)
     _sync(m['loss'])
-    iters = 1 if args.quick else 5
+    # Sustained async-dispatch timing — see bench_train_text8.
+    iters = 1 if args.quick else 8
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-        _sync(m['loss'])
+    _sync(m['loss'])
     dt = (time.perf_counter() - t0) / iters
     tok_s = B * cfg.length / dt / jax.device_count()
     return _emit(
@@ -415,16 +424,20 @@ def bench_unet(args):
     from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
                                   diffusion_sample)
 
+    # bf16 trunk = the reference protocol precision (its CIFAR runs
+    # train/sample under 16-mixed autocast); --fp32 for the A/B.
+    cd = jnp.float32 if getattr(args, 'fp32', False) else jnp.bfloat16
     if args.quick:
         cfg = UNetConfig(ch=16, num_res_blocks=1, num_scales=2,
                          ch_mult=(1, 1), image_size=8, num_classes=10,
-                         dropout=0.0)
+                         dropout=0.0, compute_dtype=cd)
         B, steps = 2, 4
     else:
         cfg = UNetConfig(ch=128, num_res_blocks=2, num_scales=4,
                          ch_mult=(1, 2, 2, 2), image_size=32,
-                         num_classes=10, dropout=0.0)
-        B, steps = args.batch or 16, args.steps if args.steps != 1000 \
+                         num_classes=10, dropout=0.0, compute_dtype=cd)
+        # B=32 measured best on v5e (35.5 vs 34.1 at 16 / 34.1 at 64)
+        B, steps = args.batch or 32, args.steps if args.steps != 1000 \
             else 128
     L = cfg.image_size * cfg.image_size * cfg.input_channels
     # uniform state: vocab has no mask token (reference main.py vision
@@ -477,7 +490,8 @@ def bench_unet(args):
     baseline = (A100_EFFECTIVE_FLOPS / (flops / B) if flops else None)
     return _emit(
         f'CIFAR10 UNet D-CFG samples/sec/chip (uniform, T={steps}, '
-        f'B={B}, fused={"on" if sampler.fused else "off"})',
+        f'B={B}, fused={"on" if sampler.fused else "off"}'
+        + (', fp32' if getattr(args, 'fp32', False) else '') + ')',
         sps, 'samples/sec/chip',
         sps / baseline if baseline else None, _mfu(flops, dt))
 
@@ -527,6 +541,9 @@ def main():
                    help='enable the MDLM NFE cache (loses at B>=24)')
     p.add_argument('--fused', action='store_true', default=None)
     p.add_argument('--no-fused', dest='fused', action='store_false')
+    p.add_argument('--fp32', action='store_true',
+                   help='--unet with an fp32 trunk (A/B vs the '
+                        'default bf16 mixed-precision policy)')
     p.add_argument('--fused-head', dest='fused_head',
                    action='store_true',
                    help='fold the vocab projection into the sampling '

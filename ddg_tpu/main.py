@@ -193,9 +193,9 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             pallas_scan=mc.get('pallas_scan', 'auto'),
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
             remat=bool(mc.get('remat', False)),
-            scan_seg=int(mc.get('scan_seg', 32)),
+            scan_seg=int(mc.get('scan_seg', 64)),
             scan_seg_bwd=int(mc.get('scan_seg_bwd', 32)),
-            scan_impl=str(mc.get('scan_impl', 'pps')),
+            scan_impl=str(mc.get('scan_impl', 'pps2')),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
@@ -222,7 +222,10 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             time_conditioning=bool(mc.get('time_conditioning', True)),
             fix_logistic=bool(mc.get('fix_logistic', False)),
             vocab_size=spec.vocab_size,
-            num_classes=num_classes)
+            num_classes=num_classes,
+            compute_dtype=(jnp.bfloat16
+                           if str(config.trainer.precision) == 'bf16'
+                           else jnp.float32))
         model = UNet(cfg)
         return model, cfg, make_model_apply(model)
     raise NotImplementedError(f'Backbone {backbone} not implemented.')
@@ -278,9 +281,9 @@ def build_classifier_model(config: Config, spec):
             pallas_scan=mc.get('pallas_scan', 'auto'),
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
             remat=bool(mc.get('remat', False)),
-            scan_seg=int(mc.get('scan_seg', 32)),
+            scan_seg=int(mc.get('scan_seg', 64)),
             scan_seg_bwd=int(mc.get('scan_seg_bwd', 32)),
-            scan_impl=str(mc.get('scan_impl', 'pps')),
+            scan_impl=str(mc.get('scan_impl', 'pps2')),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'

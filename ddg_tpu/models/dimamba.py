@@ -69,18 +69,21 @@ class DiMambaConfig:
     dt_inkernel: bool = False
     # Segment lengths of the within-chunk scan inside the Pallas
     # kernel (fwd pass / bwd pass). Measured at the Species10 shape on
-    # v5e (scripts/bench_scan_sweep.py): pps is fastest at seg=32 for
-    # both passes; the hybrid impl peaked at seg=8 fwd / seg=4 bwd.
-    scan_seg: int = 32
+    # v5e with K=16 dispatch-amortized timing (scripts/decide_scan
+    # pattern): 64/32 is the pps2 optimum; the hybrid impl peaked at
+    # seg=8 fwd / seg=4 bwd.
+    scan_seg: int = 64
     scan_seg_bwd: int = 32
     # Within-chunk scan decomposition inside the Pallas kernel:
     # 'hybrid' = sequential over segments, log-depth (Hillis-Steele)
-    # within; 'pps' (default) = parallel over segments, sequential
-    # within — the seg-step inner loop runs on full-width slabs with
-    # no shift/mask overhead (ops/selective_scan_pallas.py::
-    # _chunk_states_pps). On-chip at the Species10 shape: fwd
-    # 10.91 -> 9.89 ms, fwd+bwd 19.95 -> 18.07 ms vs hybrid.
-    scan_impl: str = 'pps'
+    # within; 'pps' = parallel over segments, sequential within (no
+    # shift/mask overhead in the inner loop); 'pps2' (default) = pps
+    # with a seeded-recompute second pass — no p_cum/fix-up, and the
+    # forward fuses the N-readout so the (C, N, d) state tensor never
+    # materializes (ops/selective_scan_pallas.py::_fwd_fused_pps2).
+    # On-chip at the Species10 shape (K=16 amortized): fwd 4.21 ->
+    # 3.78 ms vs pps (-10%), fwd+bwd neutral at 10.7 ms.
+    scan_impl: str = 'pps2'
     dropout: float = 0.1
     # Rematerialize each block in the backward pass. Needed on the XLA
     # scan path, where autodiff stores h (B, L, d_inner, N) per

@@ -11,7 +11,12 @@ TPU-first re-design of the reference UNet
   * spatial attention at one scale (unet.py:88-119), ResBlocks with
     GroupNorm + time-embedding injection (unet.py:122-182), skip
     rescale 1/sqrt(2), nearest-neighbor upsample;
-  * the logistic head runs in fp32 (log-minus-exp stability).
+  * the logistic head runs in fp32 (log-minus-exp stability);
+  * mixed precision mirrors the reference's autocast policy
+    (diffusion.py:353 + trainer precision '16-mixed'/bf16): convs,
+    denses and attention matmuls run in `UNetConfig.compute_dtype`
+    (bf16 on TPU — 2x the MXU rate), GroupNorm statistics, softmax
+    and the truncated-logistic head stay fp32.
 """
 
 from __future__ import annotations
@@ -73,80 +78,105 @@ def ddpm_conv_init(scale: float = 1.0):
 class NiN(nn.Module):
     features: int
     init_scale: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         w = self.param('W', ddpm_conv_init(self.init_scale),
                        (x.shape[-1], self.features))
         b = self.param('b', nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+            b = b.astype(self.dtype)
         return x @ w + b
 
 
 class AttnBlock(nn.Module):
-    """Spatial self-attention over H*W (reference unet.py:88-119)."""
+    """Spatial self-attention over H*W (reference unet.py:88-119).
+
+    Mixed precision mirrors the reference's autocast policy
+    (diffusion.py:353 + trainer precision '16-mixed'/bf16): the QK/PV
+    matmuls run in `dtype`, softmax statistics in fp32."""
     skip_rescale: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
-                         name='norm')(x)
-        q = NiN(C, name='q')(h)
-        k = NiN(C, name='k')(h)
-        v = NiN(C, name='v')(h)
+                         dtype=jnp.float32, name='norm')(x)
+        q = NiN(C, dtype=self.dtype, name='q')(h)
+        k = NiN(C, dtype=self.dtype, name='k')(h)
+        v = NiN(C, dtype=self.dtype, name='v')(h)
         q = q.reshape(B, H * W, C)
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
-        w = jnp.einsum('bic,bjc->bij', q, k) * (C ** -0.5)
-        w = jax.nn.softmax(w, axis=-1)
-        h = jnp.einsum('bij,bjc->bic', w, v).reshape(B, H, W, C)
-        h = NiN(C, init_scale=0.0, name='out')(h)
-        out = x + h
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+        w = jnp.einsum('bic,bjc->bij', q, k,
+                       preferred_element_type=jnp.float32) * (C ** -0.5)
+        w = jax.nn.softmax(w, axis=-1).astype(self.dtype)
+        h = jnp.einsum('bij,bjc->bic', w, v,
+                       preferred_element_type=jnp.float32
+                       ).astype(self.dtype).reshape(B, H, W, C)
+        h = NiN(C, init_scale=0.0, dtype=self.dtype, name='out')(h)
+        out = x.astype(self.dtype) + h
+        return (out / np.array(np.sqrt(2.0), dtype=self.dtype)
+                if self.skip_rescale else out)
 
 
 class ResBlock(nn.Module):
     out_ch: int
     dropout: float = 0.1
     skip_rescale: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, *, train: bool):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                         name='norm0')(x)
+                         dtype=jnp.float32, name='norm0')(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name='conv0')(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name='conv0')(h)
         if temb is not None:
             h = h + nn.Dense(self.out_ch, bias_init=nn.initializers.zeros,
-                             name='temb_proj')(
+                             dtype=self.dtype, name='temb_proj')(
                 nn.silu(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=min(self.out_ch // 4, 32),
-                         epsilon=1e-6, name='norm1')(h)
+                         epsilon=1e-6, dtype=jnp.float32,
+                         name='norm1')(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name='conv1')(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name='conv1')(h)
         if self.out_ch != in_ch:
-            x = NiN(self.out_ch, name='shortcut')(x)
-        out = x + h
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+            x = NiN(self.out_ch, dtype=self.dtype, name='shortcut')(x)
+        out = x.astype(self.dtype) + h
+        return (out / np.array(np.sqrt(2.0), dtype=self.dtype)
+                if self.skip_rescale else out)
 
 
 class Downsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         # Asymmetric (0,1) padding + stride 2 (reference unet.py:184-196).
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
-                       padding='VALID', name='conv')(x)
+                       padding='VALID', dtype=self.dtype,
+                       name='conv')(x)
 
 
 class Upsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = jax.image.resize(x, (B, 2 * H, 2 * W, C), method='nearest')
-        return nn.Conv(C, (3, 3), padding=1, name='conv')(h)
+        return nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
+                       name='conv')(h)
 
 
 def log_minus_exp(a, b, eps: float = 1e-6):
@@ -188,6 +218,7 @@ class UNet(nn.Module):
     def __call__(self, x, sigma, cond=None, x_emb=None, *,
                  train: bool = False, return_hidden_states: bool = False):
         cfg = self.cfg
+        cd = cfg.compute_dtype
         img = cfg.image_size
         C = cfg.input_channels
         B = x.shape[0]
@@ -203,63 +234,67 @@ class UNet(nn.Module):
                 sigma * cfg.time_scale_factor, cfg.time_embed_dim)
             temb = nn.Dense(4 * cfg.time_embed_dim,
                             bias_init=nn.initializers.zeros,
-                            name='temb0')(temb)
+                            dtype=cd, name='temb0')(temb)
             temb = nn.Dense(4 * cfg.time_embed_dim,
                             bias_init=nn.initializers.zeros,
-                            name='temb1')(nn.silu(temb))
+                            dtype=cd, name='temb1')(nn.silu(temb))
         if cond is not None:
             assert cfg.num_classes is not None, (
                 'Conditioning provided but num_classes is None')
             ce = nn.Embed(cfg.num_classes + 1, 4 * cfg.time_embed_dim,
-                          name='cond_map')(cond)
+                          dtype=cd, name='cond_map')(cond)
             temb = ce if temb is None else temb + ce
 
-        h = nn.Conv(cfg.ch, (3, 3), padding=1, name='conv_in')(h)
+        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=cd,
+                    name='conv_in')(h)
         hs = [h]
         # Downsampling
         for scale in range(cfg.num_scales):
             for res in range(cfg.num_res_blocks):
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
-                             cfg.skip_rescale,
+                             cfg.skip_rescale, dtype=cd,
                              name=f'down_{scale}_{res}')(h, temb,
                                                          train=train)
                 if scale == cfg.scale_count_to_put_attn:
-                    h = AttnBlock(cfg.skip_rescale,
+                    h = AttnBlock(cfg.skip_rescale, dtype=cd,
                                   name=f'down_attn_{scale}_{res}')(h)
                 hs.append(h)
             if scale != cfg.num_scales - 1:
-                h = Downsample(name=f'downsample_{scale}')(h)
+                h = Downsample(dtype=cd, name=f'downsample_{scale}')(h)
                 hs.append(h)
 
         # Middle
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     name='mid_res0')(h, temb, train=train)
-        h = AttnBlock(cfg.skip_rescale, name='mid_attn')(h)
+                     dtype=cd, name='mid_res0')(h, temb, train=train)
+        h = AttnBlock(cfg.skip_rescale, dtype=cd, name='mid_attn')(h)
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     name='mid_res1')(h, temb, train=train)
+                     dtype=cd, name='mid_res1')(h, temb, train=train)
 
         # Upsampling
         for scale in reversed(range(cfg.num_scales)):
             for res in range(cfg.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = jnp.concatenate(
+                    [h, hs.pop().astype(h.dtype)], axis=-1)
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
-                             cfg.skip_rescale,
+                             cfg.skip_rescale, dtype=cd,
                              name=f'up_{scale}_{res}')(h, temb,
                                                        train=train)
                 if scale == cfg.scale_count_to_put_attn:
-                    h = AttnBlock(cfg.skip_rescale,
+                    h = AttnBlock(cfg.skip_rescale, dtype=cd,
                                   name=f'up_attn_{scale}_{res}')(h)
             if scale != 0:
-                h = Upsample(name=f'upsample_{scale}')(h)
+                h = Upsample(dtype=cd, name=f'upsample_{scale}')(h)
         assert not hs
 
         h = nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
-                         epsilon=1e-6, name='norm_out')(h)
+                         epsilon=1e-6, dtype=jnp.float32,
+                         name='norm_out')(h)
         h = nn.silu(h)
+        # head conv in fp32 (feeds the logistic head directly)
         h = nn.Conv(2 * C, (3, 3), padding=1, name='conv_out')(h)
 
         # tanh-residual mean parameterization (unet.py:428-435)
-        mu = jnp.tanh(centered_x_in + h[..., :C])
+        mu = jnp.tanh(centered_x_in + h[..., :C].astype(jnp.float32))
         log_scale = h[..., C:]
         logits = truncated_logistic_logits(
             mu, log_scale, vocab_size=cfg.vocab_size,

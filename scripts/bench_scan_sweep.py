@@ -97,8 +97,15 @@ SWEEP6 = [('pps2', 128, 512, 256, 64, 32),    # 512 steps (best so far)
           ('pps2', 256, 256, 256, 128, 64)]   # longer inner seg
 if '--pps6' in sys.argv:
     SWEEP = list(SWEEP6)
+# Decisive default pick: pps vs pps2 at the same seg pairs.
+SWEEP7 = [('pps',  128, 512, 256, 64, 32),
+          ('pps2', 128, 512, 256, 64, 32),
+          ('pps',  128, 512, 256, 64, 64),
+          ('pps2', 128, 512, 256, 64, 64)]
+if '--pps7' in sys.argv:
+    SWEEP = list(SWEEP7)
 for entry in SWEEP:
-    if '--pps5' in sys.argv or '--pps6' in sys.argv:
+    if any(f in sys.argv for f in ('--pps5', '--pps6', '--pps7')):
         impl, chunk, tile_f, tile_b, seg, seg_bwd = entry
         dt = jnp.float32
         tag = (f'{impl:>4} chunk={chunk:>3} tf={tile_f} tb={tile_b} '

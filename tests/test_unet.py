@@ -85,3 +85,30 @@ def test_trains_with_uniform_diffusion_loss():
     gnorm = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
                             grads, 0.0)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_bf16_compute_dtype_close_to_fp32():
+    """The bf16 mixed-precision policy (matmuls/convs bf16, norms +
+    logistic head fp32 — the reference's 16-mixed autocast equivalent)
+    shares the param tree with fp32 and produces close logits."""
+    model, params, x, sigma = _init()
+    cfg16 = dataclasses.replace(CFG, compute_dtype=jnp.bfloat16)
+    m16 = UNet(cfg16)
+    # identical param tree: fp32 checkpoints load unchanged
+    p16 = m16.init(KEY, x, sigma)['params']
+    assert jax.tree.structure(p16) == jax.tree.structure(params)
+    ref = model.apply({'params': params}, x, sigma)
+    got = m16.apply({'params': params}, x, sigma)
+    assert got.dtype == ref.dtype == jnp.float32
+    # log-prob space: compare probabilities after softmax (bf16 conv
+    # accumulation error is a few 1e-3 relative on large-|logit| tails)
+    pr = jax.nn.softmax(ref, axis=-1)
+    pg = jax.nn.softmax(got, axis=-1)
+    tv = jnp.abs(pr - pg).sum(-1) / 2
+    # The sharp logistic bins (inv_scale ~ e^2) amplify bf16 rounding
+    # on a few tail positions, so bound the distribution, not the max
+    # (measured: mean 0.007, p95 0.022 on chip / 0.03 CPU).
+    mean_tv = float(tv.mean())
+    p95_tv = float(jnp.percentile(tv, 95))
+    assert mean_tv < 0.03 and p95_tv < 0.08, (
+        f'bf16 vs fp32 TV mean {mean_tv}, p95 {p95_tv}')
