@@ -276,6 +276,14 @@ def bench_train_text8(args):
                         vocab_size=35)
         B = args.batch or 256
     if getattr(args, 'flash_attn', False):
+        if getattr(args, 'attn_bf16', False) \
+                or getattr(args, 'attn_remat', False):
+            # The flash-attention branch runs before the einsum/remat
+            # fallback in DDiTBlock, so these knobs would be silently
+            # inert — refuse rather than mislabel the A/B.
+            raise SystemExit('--flash-attn is mutually exclusive with '
+                             '--attn-bf16/--attn-remat (the flash '
+                             'branch bypasses them)')
         cfg = dataclasses.replace(cfg, tpu_flash_attn=True)
     if getattr(args, 'attn_bf16', False):
         cfg = dataclasses.replace(cfg, attn_probs_bf16=True)
@@ -584,6 +592,14 @@ def main():
         'unet': args.unet,
     }
     run_all = not any(selected.values())
+    if run_all and not args.int8:
+        # Extra default-suite workload: the headline sampler with the
+        # opt-in int8 trunk+head (distribution-validated on chip,
+        # scripts/validate_quant_tpu.py; +8% at B=32 on v5e). The
+        # FIRST line stays the bf16 parity path — stable driver
+        # metric. Registered BEFORE the backend probe so an outage
+        # emits the same metric set as a healthy default run.
+        selected['first_hitting_int8'] = False
 
     ok, note, timed_out = _backend_ok()
     if not ok and timed_out:
@@ -607,16 +623,11 @@ def main():
         ('dimamba', lambda: bench_dimamba(args)),
         ('unet', lambda: bench_unet(args)),
     ]
-    if run_all and not args.int8:
-        # Extra default-suite line: the headline sampler with the
-        # opt-in int8 trunk+head (distribution-validated on chip,
-        # scripts/validate_quant_tpu.py; +8% at B=32 on v5e). The
-        # FIRST line stays the bf16 parity path — stable driver metric.
+    if 'first_hitting_int8' in selected:
         int8_args = argparse.Namespace(**{**vars(args), 'int8': True})
         workloads.append(
             ('first_hitting_int8',
              lambda: bench_sampling(int8_args, True)))
-        selected['first_hitting_int8'] = False
     for name, fn in workloads:
         if not (run_all or selected[name]):
             continue

@@ -364,13 +364,13 @@ class DDiTBlock(nn.Module):
                 if bf16_probs:
                     attn_fn = functools.partial(
                         einsum_attention, causal=cfg.causal,
-                        probs_dtype=jnp.bfloat16)
+                        probs_dtype=jnp.bfloat16, remat=attn_remat)
                 else:
                     attn_fn = functools.partial(
                         jax.nn.dot_product_attention,
                         is_causal=cfg.causal)
-                if attn_remat:
-                    attn_fn = jax.checkpoint(attn_fn)
+                    if attn_remat:
+                        attn_fn = jax.checkpoint(attn_fn)
                 attn = attn_fn(q, k, v)
         attn = attn.reshape(B, L, dim)
         if cfg.tensor_axis and cfg.tp_mode == 'heads':

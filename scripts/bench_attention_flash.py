@@ -45,32 +45,13 @@ def xla_attn(q, k, v, causal):
 
 
 def einsum_attn(q, k, v, causal, probs_dtype=jnp.float32, remat=False):
-    """Hand-rolled attention with an explicit probs dtype.
-
-    XLA's dot_product_attention keeps the (B, H, L, L) scores/probs in
-    fp32 across the two matmul boundaries (~800 MB at the text8 train
-    shape), so the op is HBM-bound. Casting the probs to bf16 halves
-    that traffic; `remat` wraps the whole region in jax.checkpoint so
-    the backward pass recomputes scores from q/k instead of storing
-    residual probs at all (QK^T recompute is <1 ms of MXU time here).
-    Pure XLA: partitions under GSPMD (usable with tensor parallelism),
-    unlike the Pallas kernels.
-    """
-    def inner(q, k, v):
-        scale = 1.0 / math.sqrt(q.shape[-1])
-        s = jnp.einsum('blhd,bmhd->bhlm', q, k,
-                       preferred_element_type=jnp.float32) * scale
-        if causal:
-            L = q.shape[1]
-            mask = jnp.tril(jnp.ones((L, L), jnp.bool_))
-            s = jnp.where(mask, s, -1e30)
-        p = jax.nn.softmax(s, axis=-1).astype(probs_dtype)
-        return jnp.einsum('bhlm,bmhd->blhd', p, v,
-                          preferred_element_type=jnp.float32
-                          ).astype(v.dtype)
-    if remat:
-        inner = jax.checkpoint(inner)
-    return inner(q, k, v)
+    """The SHIPPED einsum attention (ddg_tpu.models.dit
+    ::einsum_attention, the model.attn_probs_bf16/attn_remat path) —
+    imported, not copied, so the sweep always measures the production
+    code."""
+    from ddg_tpu.models.dit import einsum_attention
+    return einsum_attention(q, k, v, causal=causal,
+                            probs_dtype=probs_dtype, remat=remat)
 
 
 def flash_attn(q, k, v, causal, block=None, block_b=1):
