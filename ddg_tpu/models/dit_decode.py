@@ -83,7 +83,7 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         c = jax.nn.silu(emb).astype(cfg.compute_dtype)
 
     cos, sin = _rope_at(pos, head_dim)
-    new_k, new_v = [], []
+    k_all, v_all = cache['k'], cache['v']
     for i in range(cfg.n_blocks):
         p = params[f'block_{i}']
         if cfg.use_adaLN and c is not None:
@@ -99,21 +99,32 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
         q = _apply_rope_single(q, cos, sin)
         k = _apply_rope_single(k, cos, sin)
-        k_cache = jax.lax.dynamic_update_index_in_dim(
-            cache['k'][i], k, pos, axis=1)
-        v_cache = jax.lax.dynamic_update_index_in_dim(
-            cache['v'][i], v, pos, axis=1)
-        new_k.append(k_cache)
-        new_v.append(v_cache)
-        # attention of the single query over positions <= pos
-        logits = jnp.einsum('bhd,blhd->bhl', q.astype(jnp.float32),
-                            k_cache.astype(jnp.float32))
+        # In-place row update of the stacked (n_blocks, B, L, H, Dh)
+        # cache (XLA aliases the scan-carried buffer). The previous
+        # slice-per-block + jnp.stack rebuilt the full cache every
+        # step: ~2 full-cache copies (~2.4 GB/step at 2B=512) of pure
+        # memory traffic.
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None, :, None].astype(k_all.dtype),
+            (i, 0, pos, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None, :, None].astype(v_all.dtype),
+            (i, 0, pos, 0, 0))
+        k_cache = k_all[i]
+        v_cache = v_all[i]
+        # attention of the single query over positions <= pos — MXU
+        # dots on the cache's own dtype with fp32 accumulation (the
+        # same policy as the training forward's bf16 SDPA; the old
+        # .astype(fp32) materialized fp32 cache copies, ~4.8 GB/step
+        # at 2B=512).
+        logits = jnp.einsum('bhd,blhd->bhl', q, k_cache,
+                            preferred_element_type=jnp.float32)
         logits = logits / jnp.sqrt(jnp.float32(head_dim))
         l_ids = jnp.arange(cfg.length)
         logits = jnp.where(l_ids[None, None, :] <= pos, logits, -1e30)
-        w = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum('bhl,blhd->bhd', w,
-                          v_cache.astype(jnp.float32))
+        w = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+        attn = jnp.einsum('bhl,blhd->bhd', w, v_cache,
+                          preferred_element_type=jnp.float32)
         attn = attn.reshape(B, cfg.hidden_size).astype(cfg.compute_dtype)
         h = _dense(p['attn_out'], attn)
         if cfg.use_adaLN and c is not None:
@@ -136,6 +147,5 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         shift, scale = jnp.split(mod, 2, axis=-1)
         h = h * (1 + scale) + shift
     logits = _dense(params['output_linear'],
-                    h.astype(jnp.float32)).astype(jnp.float32)
-    new_cache = {'k': jnp.stack(new_k), 'v': jnp.stack(new_v)}
-    return logits, new_cache
+                    h.astype(cfg.logits_dtype)).astype(jnp.float32)
+    return logits, {'k': k_all, 'v': v_all}
