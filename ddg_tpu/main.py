@@ -194,8 +194,8 @@ def build_model(config: Config, spec: DiffusionSpec, *,
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
             remat=bool(mc.get('remat', False)),
             scan_seg=int(mc.get('scan_seg', 64)),
-            scan_seg_bwd=int(mc.get('scan_seg_bwd', 32)),
-            scan_impl=str(mc.get('scan_impl', 'pps2')),
+            scan_seg_bwd=int(mc.get('scan_seg_bwd', 64)),
+            scan_impl=str(mc.get('scan_impl', 'pps3')),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'
@@ -282,8 +282,8 @@ def build_classifier_model(config: Config, spec):
             dt_inkernel=bool(mc.get('dt_inkernel', False)),
             remat=bool(mc.get('remat', False)),
             scan_seg=int(mc.get('scan_seg', 64)),
-            scan_seg_bwd=int(mc.get('scan_seg_bwd', 32)),
-            scan_impl=str(mc.get('scan_impl', 'pps2')),
+            scan_seg_bwd=int(mc.get('scan_seg_bwd', 64)),
+            scan_impl=str(mc.get('scan_impl', 'pps3')),
             dropout=float(mc.get('dropout', 0.1)),
             compute_dtype=(jnp.bfloat16
                            if str(config.trainer.precision) == 'bf16'

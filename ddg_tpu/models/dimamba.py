@@ -73,17 +73,19 @@ class DiMambaConfig:
     # pattern): 64/32 is the pps2 optimum; the hybrid impl peaked at
     # seg=8 fwd / seg=4 bwd.
     scan_seg: int = 64
-    scan_seg_bwd: int = 32
+    scan_seg_bwd: int = 64
     # Within-chunk scan decomposition inside the Pallas kernel:
     # 'hybrid' = sequential over segments, log-depth (Hillis-Steele)
     # within; 'pps' = parallel over segments, sequential within (no
-    # shift/mask overhead in the inner loop); 'pps2' (default) = pps
-    # with a seeded-recompute second pass — no p_cum/fix-up, and the
-    # forward fuses the N-readout so the (C, N, d) state tensor never
-    # materializes (ops/selective_scan_pallas.py::_fwd_fused_pps2).
-    # On-chip at the Species10 shape (K=16 amortized): fwd 4.21 ->
-    # 3.78 ms vs pps (-10%), fwd+bwd neutral at 10.7 ms.
-    scan_impl: str = 'pps2'
+    # shift/mask overhead in the inner loop); 'pps2' = pps with a
+    # seeded-recompute second pass — no p_cum/fix-up, and the forward
+    # fuses the N-readout so the (C, N, d) state tensor never
+    # materializes; 'pps3' (default) = pps2 forward + consumer-fused
+    # backward (each dh row reduces straight into ddt/du/db/dc — no
+    # state/adjoint concats). On-chip at the Species10 shape (K=16
+    # amortized): fwd 4.21 (pps) -> 3.8 ms, fwd+bwd 10.7 (pps2) ->
+    # 8.56 ms (seg 64/64).
+    scan_impl: str = 'pps3'
     dropout: float = 0.1
     # Rematerialize each block in the backward pass. Needed on the XLA
     # scan path, where autodiff stores h (B, L, d_inner, N) per

@@ -324,9 +324,9 @@ def _suffix_scan_pps2(a_up, w, *, seg: int = 8):
 
 
 _STATES_IMPL = {'hybrid': _chunk_states, 'pps': _chunk_states_pps,
-                'pps2': _chunk_states_pps2}
+                'pps2': _chunk_states_pps2, 'pps3': _chunk_states_pps2}
 _SUFFIX_IMPL = {'hybrid': _suffix_scan, 'pps': _suffix_scan_pps,
-                'pps2': _suffix_scan_pps2}
+                'pps2': _suffix_scan_pps2, 'pps3': _suffix_scan_pps2}
 
 
 def _states(h0, a, b, *, seg, impl):
@@ -364,7 +364,7 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # in the scratch so error does not compound across chunks).
     a = a.astype(scan_dtype)
     b = b.astype(scan_dtype)
-    if scan_impl == 'pps2':
+    if scan_impl in ('pps2', 'pps3'):
         # Seeded-recompute schedule with the N-readout fused into the
         # inner loop: the (C, N, d) state tensor never materializes.
         y_scan, h_last = _fwd_fused_pps2(h0.astype(scan_dtype), a, b,
@@ -379,6 +379,110 @@ def _fwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # Fused epilogue: y = (scan + D*u) * silu(z) — three elementwise
     # HBM passes of the unfused chain folded into the kernel.
     y_ref[0] = y_pre * (z * jax.nn.sigmoid(z))
+
+
+def _bwd_fused_pps3(h0, a, b, a_up, dt, u, Bc, Cc, gy, A, dvec,
+                    carry_in, *, seg, scan_dtype,
+                    ddt_ref, du_ref, db_ref, dc_ref):
+    """Consumer-fused seeded-recompute backward ('pps3').
+
+    Pass 1 (ascending, seeded by the true segment entries) keeps the
+    per-step forward states as a LIST of (m, 1, N, d) slabs — no
+    (C, N, d) concat. Pass 2 (descending, seeded by the true
+    cross-segment adjoint carries) computes each dh row and
+    immediately reduces it into the per-row ddt/du/db/dc outputs and
+    the dA accumulator, so the (C, N, d) adjoint stack never exists.
+    Writes ddt/du (C, d) and db/dc (C, N) rows into the given refs;
+    returns (y_pre (C, d), dA (N, d), dD (1, d), carry (N, d))."""
+    C_len, N_, d_ = a.shape
+    m = C_len // seg
+    sd = scan_dtype
+    a4 = a.astype(sd).reshape(m, seg, N_, d_)
+    b4 = b.astype(sd).reshape(m, seg, N_, d_)
+    au4 = a_up.astype(sd).reshape(m, seg, N_, d_)
+    Cc4 = Cc.reshape(m, seg, N_)
+    Bc4 = Bc.reshape(m, seg, N_)
+    gy4 = gy.reshape(m, seg, d_)
+    dt4 = dt.reshape(m, seg, d_)
+    u4 = u.reshape(m, seg, d_)
+
+    def row3(x4, j):                     # (m, seg, K) -> (m, 1, K)
+        return jax.lax.slice_in_dim(x4, j, j + 1, axis=1)
+
+    def row4(x4, j):                     # (m, seg, N, d) -> (m, 1, N, d)
+        return jax.lax.slice_in_dim(x4, j, j + 1, axis=1)
+
+    def w_row(j):
+        wj = (row3(Cc4, j)[..., None]
+              * row3(gy4, j)[:, :, None, :])         # (m, 1, N, d)
+        if j == seg - 1:
+            ids = jax.lax.broadcasted_iota(jnp.int32, wj.shape, 0)
+            wj = jnp.where(ids == m - 1, wj + carry_in[None, None], wj)
+        return wj
+
+    # Forward states per step, seeded by true entries (list, no concat).
+    ent = _pps2_entries(h0.astype(sd), a4, b4)        # (m, 1, N, d)
+    hs = []
+    h = ent
+    for j in range(seg):
+        h = row4(a4, j) * h + row4(b4, j)
+        hs.append(h)
+
+    # True adjoint carry-in per segment (descending summaries).
+    dh = jnp.zeros((m, 1, N_, d_), sd)
+    q = None
+    for j in reversed(range(seg)):
+        a_j = row4(au4, j)
+        dh = w_row(j).astype(sd) + a_j * dh
+        q = a_j if q is None else a_j * q
+    _, dh_starts = _hs_scan(q, dh, reverse=True)      # over axis 0, m
+    nxt = _shift_rev(dh_starts, 1)
+    ids0 = jax.lax.broadcasted_iota(jnp.int32, nxt.shape, 0)
+    dh = jnp.where(ids0 == m - 1, jnp.zeros((), nxt.dtype), nxt)
+
+    # Fused descending pass: dh rows consumed in place.
+    acc_dA = jnp.zeros((N_, d_), jnp.float32)
+    ddt_rows = [None] * seg
+    du_rows = [None] * seg
+    db_rows = [None] * seg
+    dc_rows = [None] * seg
+    ypre_rows = [None] * seg
+    for j in reversed(range(seg)):
+        dh = w_row(j).astype(sd) + row4(au4, j) * dh
+        dh32 = dh.astype(jnp.float32)
+        af_j = row4(a4, j).astype(jnp.float32)
+        h_j = hs[j].astype(jnp.float32)
+        hp_j = (hs[j - 1] if j > 0 else ent).astype(jnp.float32)
+        da_j = dh32 * hp_j                            # (m, 1, N, d)
+        dt_j = row3(dt4, j)                           # (m, 1, d)
+        u_j = row3(u4, j)
+        gy_j = row3(gy4, j)
+        Bc_j = row3(Bc4, j)[..., None]                # (m, 1, N, 1)
+        Cc_j = row3(Cc4, j)[..., None]
+        dhB_j = jnp.sum(dh32 * Bc_j, axis=2)          # (m, 1, d)
+        daa = da_j * af_j
+        ddt_rows[j] = jnp.sum(daa * A[None, None], axis=2) \
+            + dhB_j * u_j
+        du_rows[j] = dhB_j * dt_j + gy_j * dvec[None]
+        db_rows[j] = jnp.sum(dh32 * (dt_j * u_j)[:, :, None, :],
+                             axis=3)                  # (m, 1, N)
+        dc_rows[j] = jnp.sum(h_j * gy_j[:, :, None, :], axis=3)
+        ypre_rows[j] = jnp.sum(h_j * Cc_j, axis=2)    # (m, 1, d)
+        acc_dA = acc_dA + jnp.sum(daa * dt_j[:, :, None, :],
+                                  axis=(0, 1))
+
+    ddt_ref[0] = jnp.concatenate(ddt_rows, axis=1).reshape(C_len, d_)
+    du_ref[0] = jnp.concatenate(du_rows, axis=1).reshape(C_len, d_)
+    db_ref[0, 0] = jnp.concatenate(db_rows, axis=1).reshape(C_len, N_)
+    dc_ref[0, 0] = jnp.concatenate(dc_rows, axis=1).reshape(C_len, N_)
+    y_pre = jnp.concatenate(ypre_rows, axis=1).reshape(C_len, d_) \
+        + dvec * u
+    dD = jnp.sum(gy * u, axis=0, keepdims=True)       # (1, d)
+    # carry for the chunk to the left: a_{t=0} * dh_{t=0}.
+    a_t0 = jax.lax.slice(a, (0, 0, 0), (1, N_, d_)).reshape(N_, d_)
+    dh_t0 = jax.lax.slice(dh.astype(jnp.float32), (0, 0, 0, 0),
+                          (1, 1, N_, d_)).reshape(N_, d_)
+    return y_pre, acc_dA, dD, a_t0 * dh_t0
 
 
 def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
@@ -413,48 +517,68 @@ def _bwd_kernel(u_ref, dt_ref, b_ref, c_ref, a_log_ref, z_ref,
     # Recompute within-chunk forward states.
     a = jnp.exp(dt[:, None, :] * A[None])             # (C, N, d)
     b = (dt * u)[:, None, :] * Bc[..., None]
-    h_all = _states(h0.astype(scan_dtype), a.astype(scan_dtype),
-                    b.astype(scan_dtype), seg=seg,
-                    impl=scan_impl).astype(jnp.float32)
-    # h_{t-1}: shift down by one, h0 at t=0.
-    h_prev = jnp.where(t_ids == 0, h0[None],
-                       pltpu.roll(h_all, 1, 0))
 
-    # Gate adjoint: y = y_pre * silu(z), y_pre = scan + D*u.
+    # Gate adjoint pieces: y = y_pre * silu(z), y_pre = scan + D*u.
     sig = jax.nn.sigmoid(z)
     sg = z * sig
     gy = g_gated * sg                                 # d/d y_pre
-    y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
-    # d silu(z)/dz = sig * (1 + z * (1 - sig))
-    dz_ref[0] = g_gated * y_pre * (sig + sg * (1.0 - sig))
 
-    # Adjoint: dh_t = w_t + a_{t+1} dh_{t+1}; suffix scan with the
-    # coefficient shifted up by one (a_up_t = a_{t+1}; 1 at t=C-1) and
-    # the cross-chunk carry folded into w at t=C-1.
-    w = Cc[..., None] * gy[:, None, :]                # (C, N, d)
-    w = jnp.where(t_ids == C_len - 1, w + carry_scr[...][None], w)
+    # a_up_t = a_{t+1} (1 at t = C-1): suffix-scan coefficient.
     a_up = jnp.where(t_ids == C_len - 1, 1.0,
                      pltpu.roll(a, C_len - 1, 0))
-    dh = _suffix(a_up.astype(scan_dtype), w.astype(scan_dtype),
-                 seg=seg, impl=scan_impl).astype(jnp.float32)
 
-    carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
+    m_segs = C_len // seg
+    if scan_impl == 'pps3' and C_len % seg == 0 and m_segs >= 2:
+        # Consumer-FUSED seeded-recompute backward: neither the
+        # (C, N, d) state stack nor the (C, N, d) adjoint stack is
+        # ever concatenated — the descending pass computes dh rows and
+        # immediately reduces them into the per-row ddt/du/db/dc
+        # outputs (d- or N-wide rows, 16-64x smaller).
+        y_pre, dA, dD, carry = _bwd_fused_pps3(
+            h0, a, b, a_up, dt, u, Bc, Cc, gy, A, dvec,
+            carry_scr[...], seg=seg, scan_dtype=scan_dtype,
+            ddt_ref=ddt_ref, du_ref=du_ref, db_ref=db_ref,
+            dc_ref=dc_ref)
+        dz_ref[0] = g_gated * y_pre * (sig + sg * (1.0 - sig))
+        carry_scr[...] = carry
+    else:
+        impl = 'pps2' if scan_impl == 'pps3' else scan_impl
+        h_all = _states(h0.astype(scan_dtype), a.astype(scan_dtype),
+                        b.astype(scan_dtype), seg=seg,
+                        impl=impl).astype(jnp.float32)
+        # h_{t-1}: shift down by one, h0 at t=0.
+        h_prev = jnp.where(t_ids == 0, h0[None],
+                           pltpu.roll(h_all, 1, 0))
 
-    da = dh * h_prev                                  # wrt a
-    dhB = jnp.sum(dh * Bc[..., None], axis=1)         # (C, d)
-    ddt_ref[0] = jnp.sum(da * a * A[None], axis=1) + dhB * u
-    du_ref[0] = dhB * dt + gy * dvec
-    # db/dc reduce over d, which is tiled across grid dim 1 — emit
-    # per-d-tile partials (summed outside; non-consecutive output
-    # revisits are not a safe accumulation pattern).
-    db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2)  # (C, N)
-    dc_ref[0, 0] = jnp.sum(h_all * gy[:, None, :], axis=2)     # (C, N)
+        y_pre = jnp.sum(h_all * Cc[..., None], axis=1) + dvec * u
+        # d silu(z)/dz = sig * (1 + z * (1 - sig))
+        dz_ref[0] = g_gated * y_pre * (sig + sg * (1.0 - sig))
 
-    # dA_log / dD accumulated over chunks (k innermost => consecutive
-    # revisits of the same (bi, di) output block, which is the safe
-    # Pallas accumulation pattern); summed over B outside.
-    dA = jnp.sum(da * a * dt[:, None, :], axis=0)     # (N, d)
-    dD = jnp.sum(gy * u, axis=0, keepdims=True)       # (1, d)
+        # Adjoint: dh_t = w_t + a_{t+1} dh_{t+1}; suffix scan with
+        # the cross-chunk carry folded into w at t=C-1.
+        w = Cc[..., None] * gy[:, None, :]            # (C, N, d)
+        w = jnp.where(t_ids == C_len - 1,
+                      w + carry_scr[...][None], w)
+        dh = _suffix(a_up.astype(scan_dtype), w.astype(scan_dtype),
+                     seg=seg, impl=impl).astype(jnp.float32)
+
+        carry_scr[...] = _time_row(a, 0) * _time_row(dh, 0)
+
+        da = dh * h_prev                              # wrt a
+        dhB = jnp.sum(dh * Bc[..., None], axis=1)     # (C, d)
+        ddt_ref[0] = jnp.sum(da * a * A[None], axis=1) + dhB * u
+        du_ref[0] = dhB * dt + gy * dvec
+        # db/dc reduce over d, which is tiled across grid dim 1 —
+        # emit per-d-tile partials (summed outside; non-consecutive
+        # output revisits are not a safe accumulation pattern).
+        db_ref[0, 0] = jnp.sum(dh * (dt * u)[:, None, :], axis=2)
+        dc_ref[0, 0] = jnp.sum(h_all * gy[:, None, :], axis=2)
+
+        # dA_log / dD accumulated over chunks (k innermost =>
+        # consecutive revisits of the same (bi, di) output block, the
+        # safe Pallas accumulation pattern); summed over B outside.
+        dA = jnp.sum(da * a * dt[:, None, :], axis=0)  # (N, d)
+        dD = jnp.sum(gy * u, axis=0, keepdims=True)    # (1, d)
 
     @pl.when(k == 0)
     def _():
@@ -565,11 +689,14 @@ def ssm_scan(u, delta, A_log, Bc, Cc, z, Dv, chunk=128, d_tile=256,
     affine-scan FMAs (bfloat16 halves VPU width; cross-chunk state
     stays fp32); scan_impl = 'hybrid' (sequential over segments,
     log-depth within), 'pps' (parallel over segments, sequential
-    within — no shift/mask overhead in the inner loop), or 'pps2'
+    within — no shift/mask overhead in the inner loop), 'pps2'
     (pps with a seeded-recompute second pass instead of the rank-1
     fix-up: no p_cum materialization, and the forward fuses the
     N-readout into the inner loop so the (C, N, d) state tensor never
-    exists in VMEM).
+    exists in VMEM), or 'pps3' (pps2 forward + consumer-fused
+    backward: the descending pass reduces each dh row straight into
+    the ddt/du/db/dc outputs, so neither the state stack nor the
+    adjoint stack is ever concatenated).
     """
     y, _ = _fwd_call(u, delta, A_log, Bc, Cc, z, Dv, chunk=chunk,
                      d_tile=d_tile, interpret=interpret, seg=seg,

@@ -252,3 +252,61 @@ def test_pps2_nonaligned_seg_falls_back():
                               seg=7, scan_impl='pps2')
     np.testing.assert_allclose(y, _pallas(u, delta, A, Bc, Cc, Dp, z),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pps3_scan_impl_matches():
+    """'pps3' (consumer-fused backward: dh rows reduced in place,
+    no (C, N, d) state/adjoint concats) is a pure schedule change:
+    values and all seven gradients must match."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=13)
+    w = jax.random.normal(jax.random.PRNGKey(14), (B, L, D))
+    args = (u, delta, A, Bc, Cc, Dp, z)
+    pps3 = functools.partial(selective_scan_pallas, chunk=CHUNK,
+                             d_tile=8, d_tile_bwd=8, interpret=True,
+                             seg=4, seg_bwd=4, scan_impl='pps3')
+    y_pps3 = pps3(*args)
+    y_ref = _pallas(*args)
+    np.testing.assert_allclose(y_pps3, y_ref, rtol=2e-5, atol=2e-5)
+
+    def loss(fn, *a):
+        return (fn(*a) * w).sum()
+
+    g_pps3 = jax.grad(functools.partial(loss, pps3),
+                      argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(functools.partial(loss, _pallas),
+                     argnums=tuple(range(7)))(*args)
+    names = ['u', 'delta', 'A', 'B', 'C', 'D', 'z']
+    for name, a, b in zip(names, g_pps3, g_ref):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=f'grad mismatch: {name}')
+
+
+def test_pps3_multi_chunk_carry():
+    """Cross-chunk adjoint carry under the fused backward: a longer
+    sequence spanning several chunks must still match grads."""
+    ks = jax.random.split(jax.random.PRNGKey(15), 7)
+    Lc = 3 * CHUNK  # multiple chunks, chunk-aligned
+    u = jax.random.normal(ks[0], (1, Lc, D))
+    delta = jax.nn.softplus(jax.random.normal(ks[1], (1, Lc, D)) - 1)
+    A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+    Bc = jax.random.normal(ks[3], (1, Lc, N))
+    Cc = jax.random.normal(ks[4], (1, Lc, N))
+    Dp = jax.random.normal(ks[5], (D,))
+    z = jax.random.normal(ks[6], (1, Lc, D))
+    w = jax.random.normal(jax.random.PRNGKey(16), (1, Lc, D))
+    args = (u, delta, A, Bc, Cc, Dp, z)
+
+    def loss(fn, *a):
+        return (fn(*a) * w).sum()
+
+    mk = lambda impl: functools.partial(
+        selective_scan_pallas, chunk=CHUNK, d_tile=8, d_tile_bwd=8,
+        interpret=True, seg=4, seg_bwd=4, scan_impl=impl)
+    g3 = jax.grad(functools.partial(loss, mk('pps3')),
+                  argnums=tuple(range(7)))(*args)
+    g0 = jax.grad(functools.partial(loss, mk('hybrid')),
+                  argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(['u', 'delta', 'A', 'B', 'C', 'D', 'z'],
+                          g3, g0):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
+                                   err_msg=f'grad mismatch: {name}')
