@@ -43,8 +43,10 @@ def main():
     p.add_argument('--blocks', type=int, default=8)
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--dt_inkernel', type=int, default=0)
-    p.add_argument('--seg_bwd', type=int, default=4)
-    p.add_argument('--remat', type=int, default=1)
+    p.add_argument('--seg', type=int, default=64)
+    p.add_argument('--seg_bwd', type=int, default=64)
+    p.add_argument('--impl', default='pps3')
+    p.add_argument('--remat', type=int, default=0)
     args = p.parse_args()
 
     from ddg_tpu.diffusion import DiffusionSpec, loss_fn
@@ -76,20 +78,24 @@ def main():
     # iteration's input perturbed by the previous result so XLA cannot
     # CSE them) and divide. Unrolled python loop — a lax.scan over the
     # pallas_call hit a TPU FailedPrecondition on chip.
-    K = 4
+    K = 16
 
     @jax.jit
     def scan_fwd(u, delta, A_log, Bc, Cc, z, Dv):
         acc = 0.0
         for _ in range(K):
-            y = ssm_scan(u + acc * 1e-20, delta, A_log, Bc, Cc, z, Dv)
+            y = ssm_scan(u + acc * 1e-20, delta, A_log, Bc, Cc, z, Dv,
+                         128, 512, 256, False, args.seg,
+                         jnp.float32, args.seg_bwd, args.impl)
             acc = jnp.sum(y[0, 0])
         return acc
 
     @jax.jit
     def scan_fwdbwd(u, delta, A_log, Bc, Cc, z, Dv):
         def loss(*a):
-            return jnp.sum(ssm_scan(*a))
+            return jnp.sum(ssm_scan(*a, 128, 512, 256, False,
+                                    args.seg, jnp.float32,
+                                    args.seg_bwd, args.impl))
 
         acc = 0.0
         for _ in range(K):
@@ -112,7 +118,9 @@ def main():
     cfg = DiMambaConfig(hidden_size=args.hidden, n_blocks=args.blocks,
                         length=L, vocab_size=16, num_classes=10,
                         dt_inkernel=bool(args.dt_inkernel),
+                        scan_seg=args.seg,
                         scan_seg_bwd=args.seg_bwd,
+                        scan_impl=args.impl,
                         remat=bool(args.remat))
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs',
@@ -148,10 +156,12 @@ def main():
              'cond': cond}
     state, m = step(state, batch)
     _sync(m['loss'])
+    # Sustained async-dispatch timing (one sync after the window;
+    # per-step sync pays ~30 ms dispatch+RTT each — see DESIGN.md).
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, batch)
-        _sync(m['loss'])
+    _sync(m['loss'])
     t_step = (time.perf_counter() - t0) / args.iters
     print(f'train step: {t_step*1e3:.2f} ms '
           f'({B*L/t_step/1e3:.0f}K tok/s)', flush=True)

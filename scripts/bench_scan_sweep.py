@@ -29,7 +29,7 @@ Cc = jax.random.normal(ks[4], (B, L, N))
 D = jax.random.normal(ks[5], (d,))
 z = jax.random.normal(ks[6], (B, L, d))
 
-K = 4  # amortize the ~30 ms per-dispatch overhead inside one program
+K = 16  # amortize the ~30 ms per-dispatch overhead (K>=16, see DESIGN)
 ref = None
 import sys
 SWEEP = [(8, jnp.float32, 'hybrid'), (4, jnp.float32, 'hybrid'),
@@ -104,8 +104,16 @@ SWEEP7 = [('pps',  128, 512, 256, 64, 32),
           ('pps2', 128, 512, 256, 64, 64)]
 if '--pps7' in sys.argv:
     SWEEP = list(SWEEP7)
+# pps3's leaner bwd VMEM footprint (no h_all/dh concats) may now fit
+# d_tile_bwd=512 (OOM'd under pps/pps2).
+SWEEP8 = [('pps3', 128, 512, 256, 64, 64),    # current default
+          ('pps3', 128, 512, 512, 64, 64),
+          ('pps3', 256, 512, 256, 64, 64),
+          ('pps3', 128, 512, 256, 128, 128)]
+if '--pps8' in sys.argv:
+    SWEEP = list(SWEEP8)
 for entry in SWEEP:
-    if any(f in sys.argv for f in ('--pps5', '--pps6', '--pps7')):
+    if any(f in sys.argv for f in ('--pps5', '--pps6', '--pps7', '--pps8')):
         impl, chunk, tile_f, tile_b, seg, seg_bwd = entry
         dt = jnp.float32
         tag = (f'{impl:>4} chunk={chunk:>3} tf={tile_f} tb={tile_b} '
