@@ -310,3 +310,31 @@ def test_pps3_multi_chunk_carry():
                           g3, g0):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5,
                                    err_msg=f'grad mismatch: {name}')
+
+
+def test_pps3_bf16_scan_dtype():
+    """pps3 + scan_dtype=bfloat16: the fused backward mixes bf16 scan
+    arithmetic with fp32 reductions — grads must stay within bf16
+    rounding of the fp32 kernel."""
+    u, delta, A, Bc, Cc, Dp, z = _inputs(seed=17)
+    w = jax.random.normal(jax.random.PRNGKey(18), (B, L, D))
+    args = (u, delta, A, Bc, Cc, Dp, z)
+
+    def loss(fn, *a):
+        return (fn(*a) * w).sum()
+
+    p3_16 = functools.partial(selective_scan_pallas, chunk=CHUNK,
+                              d_tile=8, d_tile_bwd=8, interpret=True,
+                              seg=4, seg_bwd=4, scan_impl='pps3',
+                              scan_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(p3_16(*args), _pallas(*args),
+                               rtol=3e-2, atol=3e-2)
+    g16 = jax.grad(functools.partial(loss, p3_16),
+                   argnums=tuple(range(7)))(*args)
+    g32 = jax.grad(functools.partial(loss, _pallas),
+                   argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(['u', 'delta', 'A', 'B', 'C', 'D', 'z'],
+                          g16, g32):
+        rel = (np.abs(np.asarray(a) - np.asarray(b)).max()
+               / (np.abs(np.asarray(b)).max() + 1e-9))
+        assert rel < 5e-2, f'grad {name} rel-err {rel}'
