@@ -83,9 +83,12 @@ def molecule_metrics(samples: List[str],
 def qed_stats(smiles: List[str]) -> Dict:
     """QED + ring-count mean/percentiles on molecules
     (qm9_eval.py:160-192). Ring counts are pure graph math (cycle
-    rank == RDKit SSSR size) and come from the in-tree checker when
-    RDKit is absent; QED needs RDKit's Crippen/TPSA/alert tables and
-    is reported null without it."""
+    rank == RDKit SSSR size). QED uses RDKit when installed; offline
+    it comes from the in-tree implementation of the published method
+    (guidance_eval/qed.py — Bickerton ADS over Wildman-Crippen logP,
+    Ertl TPSA, etc.; validated against RDKit reference values,
+    structural alerts a documented subset), flagged via
+    `qed_method`."""
     def stats(v):
         v = np.asarray(v, np.float64)
         if not len(v):
@@ -105,11 +108,16 @@ def qed_stats(smiles: List[str]) -> Dict:
                 continue
             qeds.append(QED.qed(mol))
             rings.append(mol.GetRingInfo().NumRings())
-        return {'qed': stats(qeds), 'ring_count': stats(rings)}
+        return {'qed': stats(qeds), 'ring_count': stats(rings),
+                'qed_method': 'rdkit'}
     from ddg_tpu.guidance_eval.chem import ring_count
+    from ddg_tpu.guidance_eval.qed import qed as native_qed
+    qeds = [q for q in (native_qed(s) for s in smiles)
+            if q is not None]
     rings = [r for r in (ring_count(s) for s in smiles)
              if r is not None]
-    return {'qed': None, 'ring_count': stats(rings)}
+    return {'qed': stats(qeds) or None, 'ring_count': stats(rings),
+            'qed_method': 'native-bickerton'}
 
 
 # ---------------------------------------------------------------------------

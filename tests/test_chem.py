@@ -184,5 +184,8 @@ def test_molecule_metrics_native_path():
     # ethanol is in train (under canonicalization) -> 2/3 novel
     assert out['novel_frac'] == pytest.approx(2 / 3)
     stats = gm.qed_stats(out['novel'])
-    assert stats['qed'] is None
+    # QED is now computed in-tree when RDKit is absent
+    # (guidance_eval/qed.py)
+    assert stats['qed_method'] == 'native-bickerton'
+    assert 0.0 < stats['qed']['mean'] < 1.0
     assert stats['ring_count']['mean'] >= 0.0

@@ -1,0 +1,197 @@
+"""In-tree QED stack tests (guidance_eval/smarts.py + qed.py).
+
+Parity target: RDKit's QED module, which the reference uses for the
+QM9 protocol (guidance_eval/qm9_eval.py:17,70-71). Expected values are
+published RDKit outputs (Wildman-Crippen 1999 paper values, Ertl 2000
+TPSA, RDKit descriptor docs); when RDKit is installed the last test
+cross-checks directly.
+"""
+
+import math
+
+import pytest
+
+from ddg_tpu.guidance_eval.qed import (
+    _ads,
+    aromatic_rings,
+    crippen_logp,
+    hba,
+    hbd,
+    qed,
+    qed_properties,
+    rotatable_bonds,
+    structural_alerts,
+    tpsa,
+)
+from ddg_tpu.guidance_eval.smarts import compile_smarts, perceive
+
+ASPIRIN = 'CC(=O)Oc1ccccc1C(=O)O'
+CAFFEINE = 'Cn1cnc2c1c(=O)n(C)c(=O)n2C'
+PARACETAMOL = 'CC(=O)Nc1ccc(O)cc1'
+
+
+# ---------------------------------------------------------------------------
+# SMARTS engine
+# ---------------------------------------------------------------------------
+
+def _n_matches(pattern, smiles):
+    return len(compile_smarts(pattern).match_atoms(perceive(smiles)))
+
+
+def test_smarts_primitives():
+    # element + aromaticity case
+    assert _n_matches('c', 'c1ccccc1C') == 6
+    assert _n_matches('C', 'c1ccccc1C') == 1
+    assert _n_matches('[#6]', 'c1ccccc1C') == 7
+    # H / X / D / v counts
+    assert _n_matches('[CH3]', 'CCO') == 1
+    assert _n_matches('[CH2]', 'CCO') == 1
+    assert _n_matches('[OX2]', 'CCO') == 1
+    assert _n_matches('[CD2]', 'CCC') == 1
+    assert _n_matches('[Cv4]', 'C=C') == 2
+    # charge
+    assert _n_matches('[O-]', 'CC(=O)[O-]') == 1
+    assert _n_matches('[N+]', 'C[N+](C)(C)C') == 1
+    # ring membership / size
+    assert _n_matches('[R]', 'C1CC1C') == 3
+    assert _n_matches('[R0]', 'C1CC1C') == 1
+    assert _n_matches('[r6]', 'C1CCCCC1') == 6
+    # logic: conjunction / disjunction / negation
+    assert _n_matches('[c,N]', 'c1ccccc1N') == 7
+    assert _n_matches('[!C;!c]', 'c1ccccc1NO') == 2
+    # neighbors + bond orders
+    assert _n_matches('[CH3]C', 'CC(=O)C') == 2
+    assert _n_matches('C=O', 'CC(=O)C') == 1
+    assert _n_matches('C#N', 'CC#N') == 1
+    # ring-closure pattern: heteroatom 3-ring alert
+    assert compile_smarts('*1[O,S,N]*1').has_match(
+        perceive('C1CO1'))
+    assert not compile_smarts('*1[O,S,N]*1').has_match(
+        perceive('C1CCO1'))
+    # ring-bond primitive (count unique bonds, not root atoms)
+    assert compile_smarts('[CX4]-!@[CX4]').count_unique_matches(
+        perceive('C1CC1CC1CC1')) == 2
+    assert compile_smarts('[CX4]-@[CX4]').count_unique_matches(
+        perceive('C1CC1')) == 3
+    # recursive SMARTS with exclusion: amine-not-amide
+    p = '[$([N;+0;X3;v3]);!$(N[C,S]=O)]'
+    assert _n_matches(p, 'CN(C)C') == 1       # trimethylamine: yes
+    assert _n_matches(p, 'CC(=O)NC') == 0     # acetamide: no
+
+
+def test_smarts_aromatic_vs_kekulized_input():
+    # Kekulé and lowercase spellings perceive identically
+    assert _n_matches('[cH]', 'C1=CC=CC=C1') == 6
+    assert _n_matches('[nH]', 'c1cc[nH]c1') == 1
+
+
+# ---------------------------------------------------------------------------
+# Descriptors (published RDKit values)
+# ---------------------------------------------------------------------------
+
+def test_molecular_weight():
+    p = qed_properties(ASPIRIN)
+    assert abs(p['MW'] - 180.159) < 0.01      # RDKit MolWt 180.159
+    p = qed_properties(CAFFEINE)
+    assert abs(p['MW'] - 194.194) < 0.01
+
+
+def test_crippen_logp_published_values():
+    # Wildman & Crippen 1999 / RDKit MolLogP reference values.
+    assert abs(crippen_logp(perceive('c1ccccc1')) - 1.6866) < 1e-3
+    assert abs(crippen_logp(perceive(ASPIRIN)) - 1.3101) < 1e-3
+    assert abs(crippen_logp(perceive(CAFFEINE)) - (-1.0293)) < 1e-3
+
+
+def test_tpsa_published_values():
+    # Ertl 2000 / RDKit TPSA (N,O only).
+    assert abs(tpsa(perceive(ASPIRIN)) - 63.60) < 0.01
+    assert abs(tpsa(perceive(PARACETAMOL)) - 49.33) < 0.01
+    assert abs(tpsa(perceive('c1ccncc1')) - 12.89) < 0.01  # pyridine
+    assert abs(tpsa(perceive('c1cc[nH]c1')) - 15.79) < 0.01  # pyrrole
+    assert abs(tpsa(perceive('CCO')) - 20.23) < 0.01
+    assert abs(tpsa(perceive('CC(=O)[O-]')) - 40.13) < 0.01
+    # RDKit perceives caffeine's 6-ring aromatic -> 61.82 (the
+    # PubChem/Cactvs 58.44 uses a different aromaticity model; QED
+    # parity targets RDKit).
+    assert abs(tpsa(perceive(CAFFEINE)) - 61.82) < 0.01
+
+
+def test_hb_counts():
+    m = perceive(ASPIRIN)
+    assert hba(m) == 4          # 2 carbonyl O + ester O + acid OH
+    assert hbd(m) == 1          # acid OH
+    m = perceive(CAFFEINE)
+    assert hba(m) == 3          # 2 C=O + pyridine-type n
+    assert hbd(m) == 0
+    m = perceive(PARACETAMOL)
+    assert hbd(m) == 2          # phenol OH + amide NH
+    m = perceive('CN(C)C')
+    assert hba(m) == 1          # amine N accepts; amide N would not
+    assert hba(perceive('CC(=O)NC')) == 1   # amide: only the O
+
+
+def test_rotatable_bonds_strict():
+    assert rotatable_bonds(perceive(ASPIRIN)) == 2
+    assert rotatable_bonds(perceive(CAFFEINE)) == 0
+    assert rotatable_bonds(perceive('CCCC')) == 1
+    assert rotatable_bonds(perceive('CCC(C)(C)C')) == 0  # t-Bu top
+    assert rotatable_bonds(perceive('CC(=O)NC')) == 0    # amide bond
+    assert rotatable_bonds(perceive('c1ccccc1c1ccccc1')) == 1
+
+
+def test_aromatic_rings_and_alerts():
+    assert aromatic_rings(perceive(ASPIRIN)) == 1
+    assert aromatic_rings(perceive(CAFFEINE)) == 2
+    assert aromatic_rings(perceive('C1CCCCC1')) == 0
+    assert structural_alerts(perceive(ASPIRIN)) == 0
+    assert structural_alerts(perceive('CC(=O)CCl')) >= 1  # alkyl Cl
+    assert structural_alerts(perceive('CC=O')) >= 1       # aldehyde
+    assert structural_alerts(perceive('C1CO1')) >= 1      # epoxide
+    assert structural_alerts(perceive('CCOOC')) >= 1      # peroxide
+
+
+def test_ads_shape():
+    # desirability is in (0, 1] and peaks near the fitted optimum
+    for key, peak in [('MW', 300.0), ('ALOGP', 2.5), ('PSA', 70.0)]:
+        d_peak = _ads(peak, key)
+        assert 0.0 < d_peak <= 1.2
+        assert _ads(peak, key) > _ads(peak + 500, key)
+
+
+def test_qed_known_molecules():
+    # RDKit QED.qed reference outputs (weighted-mean weights).
+    assert abs(qed(ASPIRIN) - 0.7448) < 0.03
+    assert abs(qed(CAFFEINE) - 0.5385) < 0.03
+    assert qed('invalid((') is None
+    # QM9-scale molecules produce finite sensible scores
+    for s in ['CC(N)C(=O)O', 'C1CC1', 'CCO', 'c1ccncc1', 'N#Cc1ccccc1']:
+        v = qed(s)
+        assert v is not None and 0.0 < v < 1.0
+
+
+def test_alerts_lower_qed():
+    # same scaffold, added alert group lowers the score
+    clean = qed('CCCCO')
+    flagged = qed('CCCC(=O)Cl')        # acyl chloride alert
+    assert flagged < clean
+
+
+def test_qed_stats_integration():
+    from ddg_tpu.guidance_eval.metrics import qed_stats
+    out = qed_stats([ASPIRIN, CAFFEINE, 'CCO', 'bad(('])
+    assert out['qed'] is not None
+    assert 0.3 < out['qed']['mean'] < 0.8
+    assert 'ring_count' in out
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip('importlib.util').find_spec('rdkit'),
+    reason='RDKit not installed')
+def test_rdkit_cross_check():
+    from rdkit import Chem
+    from rdkit.Chem import QED as RQED
+    for s in [ASPIRIN, CAFFEINE, PARACETAMOL, 'CCO', 'c1ccncc1',
+              'CC(N)C(=O)O']:
+        ref = RQED.qed(Chem.MolFromSmiles(s))
+        assert math.isclose(qed(s), ref, abs_tol=0.03)
