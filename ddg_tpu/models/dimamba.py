@@ -86,6 +86,20 @@ class DiMambaConfig:
     # amortized): fwd 4.21 (pps) -> 3.8 ms, fwd+bwd 10.7 (pps2) ->
     # 8.56 ms (seg 64/64).
     scan_impl: str = 'pps3'
+    # Fuse the whole per-direction Mamba block (in_proj, causal conv,
+    # x_proj, dt_proj, selective scan, gate, out_proj) into ONE Pallas
+    # kernel with in-kernel weight-gradient accumulation
+    # (ops/mamba_block_pallas.py) — the TPU equivalent of the
+    # reference's CUDA mamba_inner_fn (dimamba.py:176-195). 'auto' =
+    # on when the Pallas scan is active, scan_impl is pps2/pps3, no
+    # sequence parallelism, and the shape constraints hold
+    # (scan_chunk | L, seg | scan_chunk, scan_chunk/seg >= 2,
+    # d_conv <= 8); True forces it (asserts the constraints); False
+    # uses the unfused path. Default False until the on-chip A/B
+    # lands (round 4); flip to 'auto' once validated.
+    fused_block: str | bool = False
+    # Run the fused-block kernel in Pallas interpret mode (CPU tests).
+    pallas_interpret: bool = False
     dropout: float = 0.1
     # Rematerialize each block in the backward pass. Needed on the XLA
     # scan path, where autodiff stores h (B, L, d_inner, N) per
@@ -197,8 +211,45 @@ class MambaCore(nn.Module):
     per-direction parameters (conv1d, x_proj, dt_proj, A_log, D)."""
     cfg: DiMambaConfig
 
+    def _dt_dense(self):
+        """dt_proj with the reference's variance-preserving init and
+        softplus bias targeting dt in [1e-3, 0.1]
+        (dimamba.py:108-128). precision=HIGHEST: the TPU default
+        matmul is single-pass bf16; dt feeds exp() in the recurrence,
+        which amplifies the ~1e-3 rounding. Matches the fused kernel's
+        in-kernel dt matmul (and the reference's fp32 dt_proj)."""
+        cfg = self.cfg
+        dt_init_std = cfg.dt_rank ** -0.5
+
+        def dt_bias_init(key, shape, dtype=jnp.float32):
+            dt_val = jnp.exp(
+                jax.random.uniform(key, shape)
+                * (math.log(0.1) - math.log(0.001)) + math.log(0.001))
+            dt_val = jnp.clip(dt_val, 1e-4, None)
+            return dt_val + jnp.log(-jnp.expm1(-dt_val))
+
+        return nn.Dense(
+            cfg.d_inner, use_bias=True,
+            kernel_init=nn.initializers.uniform(scale=2 * dt_init_std),
+            bias_init=dt_bias_init,
+            dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            name='dt_proj')
+
+    def _ssm_params(self):
+        """S4D-real init A = -(1..N) per channel plus the skip D
+        (dimamba.py:131-139)."""
+        cfg = self.cfg
+        A_log = self.param(
+            'A_log',
+            lambda key, shape: jnp.log(jnp.broadcast_to(
+                jnp.arange(1, cfg.d_state + 1, dtype=jnp.float32),
+                shape)),
+            (cfg.d_inner, cfg.d_state))
+        D = self.param('D', nn.initializers.ones, (cfg.d_inner,))
+        return A_log, D
+
     @nn.compact
-    def __call__(self, x, z):
+    def __call__(self, x, z, *, params_only: bool = False):
         cfg = self.cfg
         d = cfg.d_inner
         # Causal depthwise conv1d, left padding d_conv-1
@@ -208,6 +259,23 @@ class MambaCore(nn.Module):
             nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
             (cfg.d_conv, 1, d))
         conv_b = self.param('conv1d_bias', nn.initializers.zeros, (d,))
+        if params_only:
+            # Register the remaining params (same tree as the compute
+            # path — checkpoints stay interchangeable) and hand them
+            # to the caller for the fused-block kernel; no compute.
+            x_proj = nn.Dense(cfg.dt_rank + 2 * cfg.d_state,
+                              use_bias=False, dtype=cfg.compute_dtype,
+                              name='x_proj')
+            _ = x_proj(x[:, :1])
+            dt_dense = self._dt_dense()
+            _ = dt_dense(jnp.zeros((1, 1, cfg.dt_rank), jnp.float32))
+            A_log, D = self._ssm_params()
+            return dict(
+                conv_w=conv_w, conv_b=conv_b,
+                W_x=x_proj.variables['params']['kernel'],
+                W_dt=dt_dense.variables['params']['kernel'],
+                b_dt=dt_dense.variables['params']['bias'],
+                A=-jnp.exp(A_log), D=D)
         # Causal depthwise conv as d_conv shifted multiply-adds — pure
         # elementwise FMAs that XLA fuses with the surrounding VPU ops
         # (no grouped-convolution lowering). Same math as
@@ -229,39 +297,10 @@ class MambaCore(nn.Module):
         dt, B_ssm, C_ssm = jnp.split(
             x_dbl, [cfg.dt_rank, cfg.dt_rank + cfg.d_state], axis=-1)
 
-        # dt_proj with the reference's variance-preserving init and
-        # softplus bias targeting dt in [1e-3, 0.1]
-        # (dimamba.py:108-128).
-        dt_init_std = cfg.dt_rank ** -0.5
-
-        def dt_bias_init(key, shape, dtype=jnp.float32):
-            dt_val = jnp.exp(
-                jax.random.uniform(key, shape)
-                * (math.log(0.1) - math.log(0.001)) + math.log(0.001))
-            dt_val = jnp.clip(dt_val, 1e-4, None)
-            return dt_val + jnp.log(-jnp.expm1(-dt_val))
-
-        # precision=HIGHEST: the TPU default matmul is single-pass
-        # bf16; dt feeds exp() in the recurrence, which amplifies the
-        # ~1e-3 rounding. Matches the fused kernel's in-kernel dt
-        # matmul (and the reference's fp32 dt_proj).
-        dt_dense = nn.Dense(
-            d, use_bias=True,
-            kernel_init=nn.initializers.uniform(scale=2 * dt_init_std),
-            bias_init=dt_bias_init,
-            dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            name='dt_proj')
+        dt_dense = self._dt_dense()
         dt_lr = dt.astype(jnp.float32)
-
-        # S4D-real init: A = -(1..N) per channel (dimamba.py:131-139).
-        A_log = self.param(
-            'A_log',
-            lambda key, shape: jnp.log(jnp.broadcast_to(
-                jnp.arange(1, cfg.d_state + 1, dtype=jnp.float32),
-                shape)),
-            (d, cfg.d_state))
+        A_log, D = self._ssm_params()
         A = -jnp.exp(A_log)
-        D = self.param('D', nn.initializers.ones, (d,))
 
         use_pallas = (cfg.pallas_scan if isinstance(cfg.pallas_scan,
                                                     bool)
@@ -319,6 +358,30 @@ class MambaCore(nn.Module):
                               chunk=cfg.scan_chunk)
 
 
+def _use_fused_block(cfg: DiMambaConfig, L: int) -> bool:
+    """Resolve cfg.fused_block ('auto'/True/False) against the fused
+    kernel's shape constraints (ops/mamba_block_pallas.py docstring)."""
+    constraints_ok = (
+        L % cfg.scan_chunk == 0
+        and all(cfg.scan_chunk % s == 0 and cfg.scan_chunk // s >= 2
+                for s in (cfg.scan_seg, cfg.scan_seg_bwd))
+        and cfg.d_conv <= 8)
+    if cfg.fused_block is True:
+        if not constraints_ok:
+            raise ValueError(
+                'fused_block=True but the kernel shape constraints do '
+                f'not hold (L={L}, chunk={cfg.scan_chunk}, '
+                f'seg={cfg.scan_seg}/{cfg.scan_seg_bwd}, '
+                f'd_conv={cfg.d_conv})')
+        return True
+    if cfg.fused_block is False:
+        return False
+    use_pallas = (cfg.pallas_scan if isinstance(cfg.pallas_scan, bool)
+                  else jax.default_backend() == 'tpu')
+    return (use_pallas and cfg.scan_impl in ('pps2', 'pps3')
+            and cfg.sequence_axis is None and constraints_ok)
+
+
 class BiMambaWrapper(nn.Module):
     """Forward + reversed Mamba with optional in/out projection tying
     (reference dimamba.py:591-656)."""
@@ -340,6 +403,54 @@ class BiMambaWrapper(nn.Module):
                                dtype=dt, name='out_proj_rev')
         else:
             in_rev, out_rev = in_fwd, out_fwd
+
+        if _use_fused_block(cfg, h.shape[1]):
+            # Fused mamba_inner path: the whole per-direction block
+            # runs as ONE Pallas kernel (ops/mamba_block_pallas.py —
+            # TPU analogue of the reference's CUDA mamba_inner_fn,
+            # dimamba.py:176-195). Dense/core params are registered
+            # via 1-row probe calls (identical tree to the unfused
+            # path — checkpoints stay interchangeable) and handed to
+            # the kernel as raw arrays.
+            import functools as _ft
+
+            from ddg_tpu.ops.mamba_block_pallas import \
+                mamba_inner_pallas
+            probe = jnp.zeros((1, 1, d), dt)
+            _ = in_fwd(h[:, :1])
+            _ = out_fwd(probe)
+            fused = _ft.partial(
+                mamba_inner_pallas, d_state=cfg.d_state,
+                dt_rank=cfg.dt_rank, chunk=cfg.scan_chunk,
+                seg=cfg.scan_seg, seg_bwd=cfg.scan_seg_bwd,
+                interpret=cfg.pallas_interpret, compute_dtype=dt)
+
+            def run(direction, h_dir, in_p, out_p):
+                p = MambaCore(cfg, name=f'core_{direction}')(
+                    probe, None, params_only=True)
+                return fused(
+                    h_dir, in_p.variables['params']['kernel'],
+                    p['conv_w'], p['conv_b'], p['W_x'], p['W_dt'],
+                    p['b_dt'], p['A'], p['D'],
+                    out_p.variables['params']['kernel'])
+
+            out = run('fwd', h, in_fwd, out_fwd)
+            if cfg.bidirectional:
+                if not cfg.bidirectional_weight_tie:
+                    _ = in_rev(h[:, :1])
+                    _ = out_rev(probe)
+                out_r = run('rev', jnp.flip(h, axis=1), in_rev,
+                            out_rev)
+                out_r = jnp.flip(out_r, axis=1)
+                if cfg.bidirectional_strategy == 'add':
+                    out = out + out_r
+                elif cfg.bidirectional_strategy == 'ew_multiply':
+                    out = out * out_r
+                else:
+                    raise NotImplementedError(
+                        f'`{cfg.bidirectional_strategy}` for '
+                        'bi-directionality not implemented!')
+            return out
 
         xz = in_fwd(h)
         x, z = jnp.split(xz, 2, axis=-1)
