@@ -407,6 +407,17 @@ def export_hf_udlm(params: Dict, out_dir: str, *, vocab_size: int,
         np.ascontiguousarray(np.asarray(v, np.float32)))
         for k, v in sd.items()}
     os.makedirs(out_dir, exist_ok=True)
+    # Ship the remote-code files the auto_map points at (reference
+    # models/hf/modeling_udlm.py + configuration_udlm.py travel with
+    # the published checkpoints the same way), so the folder loads
+    # standalone via AutoModelForMaskedLM(trust_remote_code=True).
+    import shutil
+
+    import ddg_tpu.hf_udlm as _hf_pkg
+    pkg_dir = os.path.dirname(_hf_pkg.__file__)
+    for fname in ('configuration_udlm.py', 'modeling_udlm.py'):
+        shutil.copyfile(os.path.join(pkg_dir, fname),
+                        os.path.join(out_dir, fname))
     config = {
         'model_type': 'udlm',
         'architectures': ['UDLM'],
