@@ -66,14 +66,23 @@ def _apply_rope_single(x, cos, sin):
 
 
 def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
-                pos: jax.Array, cond=None) -> Tuple[jax.Array, Dict]:
+                pos: jax.Array, cond=None, *,
+                window: int | None = None) -> Tuple[jax.Array, Dict]:
     """One AR decode step.
 
     token: (B,) int32; pos: scalar int32 (0-based). Returns
     (logits (B, V), new_cache). Matches DIT's causal forward at
     position `pos` exactly (test_dit_decode).
+
+    window: STATIC upper bound on pos+1 — attention reads only the
+    first `window` cache rows (early decode positions need only a
+    prefix; reading all L rows at every step is the ~2x cache-read
+    overhead of DESIGN known-gap C). Token-identical to window=None:
+    rows in [pos+1, window) are masked to -1e30 either way, so the
+    softmax weights of the live rows are unchanged.
     """
     B = token.shape[0]
+    W = cfg.length if window is None else min(window, cfg.length)
     head_dim = cfg.hidden_size // cfg.n_heads
     x = params['vocab_embed'][token].astype(cfg.compute_dtype)  # (B, D)
 
@@ -110,8 +119,8 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         v_all = jax.lax.dynamic_update_slice(
             v_all, v[None, :, None].astype(v_all.dtype),
             (i, 0, pos, 0, 0))
-        k_cache = k_all[i]
-        v_cache = v_all[i]
+        k_cache = jax.lax.slice_in_dim(k_all[i], 0, W, axis=1)
+        v_cache = jax.lax.slice_in_dim(v_all[i], 0, W, axis=1)
         # attention of the single query over positions <= pos — MXU
         # dots on the cache's own dtype with fp32 accumulation (the
         # same policy as the training forward's bf16 SDPA; the old
@@ -120,7 +129,7 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         logits = jnp.einsum('bhd,blhd->bhl', q, k_cache,
                             preferred_element_type=jnp.float32)
         logits = logits / jnp.sqrt(jnp.float32(head_dim))
-        l_ids = jnp.arange(cfg.length)
+        l_ids = jnp.arange(W)
         logits = jnp.where(l_ids[None, None, :] <= pos, logits, -1e30)
         w = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
         attn = jnp.einsum('bhl,blhd->bhd', w, v_cache,

@@ -93,6 +93,15 @@ class SamplerSpec:
     # ancestral paths with a DiT backbone (needs dit_cfg). Requires
     # fused=True.
     fused_head: bool = False
+    # AR KV-cache decode: split the position scan into this many
+    # contiguous buckets; bucket j's attention reads only the first
+    # ~j/n of the cache (static slice). Token-identical to 1 (masked
+    # rows carry exactly zero softmax weight) but cuts average
+    # cache-read traffic from L to ~0.6L rows/step at 4 buckets —
+    # the reference's full-prefix recompute has no analogue
+    # (diffusion.py:1132-1133). DiT decode only; >1 compiles one scan
+    # body per bucket.
+    ar_buckets: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -920,11 +929,15 @@ def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
     if isinstance(decode_cfg, DiMambaConfig):
         from ddg_tpu.models.dimamba_decode import decode_step as _ds, \
             init_cache
-        # DiMamba decode has no positional argument.
-        def decode_step(cfg, prm, cache, tok, pos, cond=None):
+        # DiMamba decode has no positional argument (and no
+        # length-windowed cache — its state is O(1) in L).
+        def decode_step(cfg, prm, cache, tok, pos, cond=None, *,
+                        window=None):
             return _ds(cfg, prm, cache, tok, cond=cond)
+        supports_window = False
     else:
         from ddg_tpu.models.dit_decode import decode_step, init_cache
+        supports_window = True
 
     num_pred = length - 1
     # Same key split as the fallback path so both paths draw identical
@@ -953,25 +966,43 @@ def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
     x0 = jnp.zeros((batch_size, length), dtype=jnp.int32)
     x0 = x0.at[:, 0].set(bos_token_id)
 
-    def step_fn(carry, i):
-        x, cache = carry
-        tok = x[:, i]
-        dec_tok = (jnp.concatenate([tok, tok], axis=0)
-                   if dec_B == 2 * batch_size else tok)
-        logits, cache = decode_step(decode_cfg, params, cache, dec_tok,
-                                    i, cond=dec_cond)
-        lp = jax.nn.log_softmax(
-            logits.astype(_sample_dtype(sampler)), axis=-1)
-        if dec_B == 2 * batch_size:
-            lp = gamma * lp[:batch_size] + (1 - gamma) * lp[batch_size:]
-            lp = jax.nn.log_softmax(lp, axis=-1)
-        y = S.sample_token(
-            lp, gumbel[:, i],
-            low_confidence_sampling=sampler.low_confidence_sampling,
-            low_confidence_threshold=sampler.low_confidence_threshold)
-        x = x.at[:, i + 1].set(y)
-        return (x, cache), None
+    def make_step(window):
+        def step_fn(carry, i):
+            x, cache = carry
+            tok = x[:, i]
+            dec_tok = (jnp.concatenate([tok, tok], axis=0)
+                       if dec_B == 2 * batch_size else tok)
+            logits, cache = decode_step(decode_cfg, params, cache,
+                                        dec_tok, i, cond=dec_cond,
+                                        window=window)
+            lp = jax.nn.log_softmax(
+                logits.astype(_sample_dtype(sampler)), axis=-1)
+            if dec_B == 2 * batch_size:
+                lp = gamma * lp[:batch_size] \
+                    + (1 - gamma) * lp[batch_size:]
+                lp = jax.nn.log_softmax(lp, axis=-1)
+            y = S.sample_token(
+                lp, gumbel[:, i],
+                low_confidence_sampling=sampler.low_confidence_sampling,
+                low_confidence_threshold=sampler
+                .low_confidence_threshold)
+            x = x.at[:, i + 1].set(y)
+            return (x, cache), None
+        return step_fn
 
-    (x_final, _), _ = jax.lax.scan(step_fn, (x0, cache0),
-                                   jnp.arange(num_pred))
+    # Length-bucketed decode: bucket j's positions [s, e) read only a
+    # ceil-to-128 prefix of the cache (lane-aligned static slice).
+    buckets = max(1, sampler.ar_buckets) if supports_window else 1
+    bounds = [round(num_pred * j / buckets)
+              for j in range(buckets + 1)]
+    carry = (x0, cache0)
+    for j in range(buckets):
+        s, e = bounds[j], bounds[j + 1]
+        if s == e:
+            continue
+        window = min(length, -(-e // 128) * 128) if buckets > 1 \
+            else None
+        carry, _ = jax.lax.scan(make_step(window), carry,
+                                jnp.arange(s, e))
+    x_final, _ = carry
     return x_final
