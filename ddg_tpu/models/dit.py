@@ -119,6 +119,18 @@ class DITConfig:
     # Mesh axis carrying the batch shard, used only in the tensor-
     # parallel activation constraints so they don't wipe data sharding.
     batch_axis: str = 'data'
+    # Fused adaLN elementwise chains (ops/adaln_pallas.py): the block
+    # entry LN+modulate and the attention->MLP boundary
+    # gate*attn + residual -> LN + modulate each run as ONE Pallas
+    # kernel with a single-kernel custom VJP (conditioning grads
+    # accumulate in-kernel) — the TPU counterpart of the reference's
+    # torch.jit bias_dropout_add_scale/modulate_fused pair
+    # (models/dit.py:53-79,124-128). 'auto' resolves OFF pending the
+    # on-chip A/B; True opts in; 'interpret' runs the kernels in
+    # Pallas interpret mode (CPU tests). Requires adaLN conditioning
+    # and L % 128 == 0; disabled under tensor parallelism (opaque
+    # custom calls, like the other Pallas paths).
+    fused_adaln: 'str | bool' = 'auto'
     # Opt-in int8 dynamic-quant inference (ops/quant.py): the trunk
     # denses (qkv/out/mlp) and the vocab head run s8 x s8 -> s32 on the
     # MXU at 2x the bf16 rate (v5e: 394.5 TOPS vs 197 TFLOP/s).
@@ -182,8 +194,13 @@ class AdaLNLayerNorm(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         w = self.param('weight', nn.initializers.ones, (self.dim,))
+        if params_only:
+            # Hand the weight to a fused caller (ops/adaln_pallas.py)
+            # under this module's param path, so checkpoints stay
+            # interchangeable with the unfused path.
+            return w
         x32 = x.astype(jnp.float32)
         m1 = x32.mean(-1, keepdims=True)
         m2 = (x32 * x32).mean(-1, keepdims=True)
@@ -273,10 +290,25 @@ class DDiTBlock(nn.Module):
             shift_mlp = scale_mlp = gate_mlp = None
 
         # --- attention ---
+        fused_adaln = (cfg.fused_adaln
+                       if isinstance(cfg.fused_adaln, bool)
+                       else cfg.fused_adaln == 'interpret')
+        adaln_interp = cfg.fused_adaln == 'interpret'
+        if (not use_adaLN or cfg.tensor_axis
+                or (x.shape[1] % 128 != 0 and not adaln_interp)):
+            fused_adaln = False
+        if fused_adaln:
+            from ddg_tpu.ops.adaln_pallas import (gate_res_ln_modulate,
+                                                  ln_modulate)
         x_skip = x
-        h = AdaLNLayerNorm(dim, name='norm1')(x)
-        if use_adaLN:
-            h = modulate(h, shift_msa, scale_msa)
+        if fused_adaln:
+            w1 = AdaLNLayerNorm(dim, name='norm1')(x, params_only=True)
+            h = ln_modulate(x, w1, shift_msa, scale_msa,
+                            interpret=adaln_interp)
+        else:
+            h = AdaLNLayerNorm(dim, name='norm1')(x)
+            if use_adaLN:
+                h = modulate(h, shift_msa, scale_msa)
         qkv = Dense(3 * dim, use_bias=False, dtype=dt,
                     name='attn_qkv')(h)
         B, L = x.shape[0], x.shape[1]
@@ -381,15 +413,24 @@ class DDiTBlock(nn.Module):
                                  cfg.tensor_axis, None)
         h = Dense(dim, use_bias=False, dtype=dt, name='attn_out')(attn)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
-        if use_adaLN:
-            h = gate_msa[:, None] * h
-        x = x_skip + h
+        if fused_adaln:
+            # gate + residual + norm2 + modulate as one kernel; x
+            # becomes the new residual stream.
+            w2 = AdaLNLayerNorm(dim, name='norm2')(x, params_only=True)
+            x, h = gate_res_ln_modulate(
+                h, x_skip, gate_msa, w2, shift_mlp, scale_mlp,
+                interpret=adaln_interp)
+            x_skip = x
+        else:
+            if use_adaLN:
+                h = gate_msa[:, None] * h
+            x = x_skip + h
 
-        # --- mlp ---
-        x_skip = x
-        h = AdaLNLayerNorm(dim, name='norm2')(x)
-        if use_adaLN:
-            h = modulate(h, shift_mlp, scale_mlp)
+            # --- mlp ---
+            x_skip = x
+            h = AdaLNLayerNorm(dim, name='norm2')(x)
+            if use_adaLN:
+                h = modulate(h, shift_mlp, scale_mlp)
         h = Dense(4 * dim, use_bias=True, dtype=dt, name='mlp_in')(h)
         h = nn.gelu(h, approximate=True)
         if cfg.tensor_axis and cfg.tp_mode == 'heads':
@@ -474,7 +515,13 @@ class DIT(nn.Module):
                 (x.shape[0], cfg.cond_dim), cfg.compute_dtype))
         # Output head: fp32 logits (dtype policy; reference runs the head
         # in bf16 autocast but our parity target is the fp32 math).
-        h = AdaLNLayerNorm(cfg.hidden_size, name='norm_final')(x)
+        fused_adaln = (cfg.fused_adaln
+                       if isinstance(cfg.fused_adaln, bool)
+                       else cfg.fused_adaln == 'interpret')
+        adaln_interp = cfg.fused_adaln == 'interpret'
+        if (not (cfg.use_adaLN and c is not None) or cfg.tensor_axis
+                or (x.shape[1] % 128 != 0 and not adaln_interp)):
+            fused_adaln = False
         if cfg.use_adaLN and c is not None:
             mod = nn.Dense(2 * cfg.hidden_size, use_bias=True,
                            kernel_init=nn.initializers.zeros,
@@ -482,7 +529,16 @@ class DIT(nn.Module):
                            dtype=cfg.compute_dtype,
                            name='final_adaLN')(c)
             shift, scale = jnp.split(mod, 2, axis=-1)
-            h = modulate(h, shift, scale)
+        if fused_adaln:
+            from ddg_tpu.ops.adaln_pallas import ln_modulate
+            wf = AdaLNLayerNorm(cfg.hidden_size, name='norm_final')(
+                x, params_only=True)
+            h = ln_modulate(x, wf, shift, scale,
+                            interpret=adaln_interp)
+        else:
+            h = AdaLNLayerNorm(cfg.hidden_size, name='norm_final')(x)
+            if cfg.use_adaLN and c is not None:
+                h = modulate(h, shift, scale)
         if cfg.quant_int8:
             from ddg_tpu.ops.quant import QDense
             logits = QDense(cfg.vocab_size,
