@@ -64,6 +64,13 @@ class UNetConfig:
     image_size: int = 32
     num_classes: Optional[int] = None
     compute_dtype: jnp.dtype = jnp.float32
+    # Opt-in int8 dynamic-quant inference for the conv trunk
+    # (ops/quant.int8_conv: per-sample activation scales, per-output-
+    # channel weight scales, s8 x s8 -> s32 MXU convs) + the NiN /
+    # attention 1x1 projections (int8_dense). Param tree unchanged;
+    # inference-only (train raises). Default OFF; the UNet "XLA
+    # floor" probe of VERDICT r3 weak #3.
+    quant_int8: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -75,16 +82,28 @@ def ddpm_conv_init(scale: float = 1.0):
     return nn.initializers.variance_scaling(scale, 'fan_avg', 'uniform')
 
 
+def _conv_cls(quant: bool):
+    """nn.Conv or its int8 drop-in (same param tree)."""
+    if quant:
+        from ddg_tpu.ops.quant import QConv
+        return QConv
+    return nn.Conv
+
+
 class NiN(nn.Module):
     features: int
     init_scale: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         w = self.param('W', ddpm_conv_init(self.init_scale),
                        (x.shape[-1], self.features))
         b = self.param('b', nn.initializers.zeros, (self.features,))
+        if self.quant:
+            from ddg_tpu.ops.quant import int8_dense
+            return int8_dense(x, w, b, out_dtype=self.dtype or x.dtype)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
@@ -100,15 +119,16 @@ class AttnBlock(nn.Module):
     matmuls run in `dtype`, softmax statistics in fp32."""
     skip_rescale: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
                          dtype=jnp.float32, name='norm')(x)
-        q = NiN(C, dtype=self.dtype, name='q')(h)
-        k = NiN(C, dtype=self.dtype, name='k')(h)
-        v = NiN(C, dtype=self.dtype, name='v')(h)
+        q = NiN(C, dtype=self.dtype, quant=self.quant, name='q')(h)
+        k = NiN(C, dtype=self.dtype, quant=self.quant, name='k')(h)
+        v = NiN(C, dtype=self.dtype, quant=self.quant, name='v')(h)
         q = q.reshape(B, H * W, C)
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
@@ -118,7 +138,8 @@ class AttnBlock(nn.Module):
         h = jnp.einsum('bij,bjc->bic', w, v,
                        preferred_element_type=jnp.float32
                        ).astype(self.dtype).reshape(B, H, W, C)
-        h = NiN(C, init_scale=0.0, dtype=self.dtype, name='out')(h)
+        h = NiN(C, init_scale=0.0, dtype=self.dtype,
+                quant=self.quant, name='out')(h)
         out = x.astype(self.dtype) + h
         return (out / np.array(np.sqrt(2.0), dtype=self.dtype)
                 if self.skip_rescale else out)
@@ -129,15 +150,17 @@ class ResBlock(nn.Module):
     dropout: float = 0.1
     skip_rescale: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb, *, train: bool):
+        Conv = _conv_cls(self.quant)
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
                          dtype=jnp.float32, name='norm0')(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name='conv0')(h)
+        h = Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                 name='conv0')(h)
         if temb is not None:
             h = h + nn.Dense(self.out_ch, bias_init=nn.initializers.zeros,
                              dtype=self.dtype, name='temb_proj')(
@@ -147,10 +170,11 @@ class ResBlock(nn.Module):
                          name='norm1')(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name='conv1')(h)
+        h = Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                 name='conv1')(h)
         if self.out_ch != in_ch:
-            x = NiN(self.out_ch, dtype=self.dtype, name='shortcut')(x)
+            x = NiN(self.out_ch, dtype=self.dtype, quant=self.quant,
+                    name='shortcut')(x)
         out = x.astype(self.dtype) + h
         return (out / np.array(np.sqrt(2.0), dtype=self.dtype)
                 if self.skip_rescale else out)
@@ -158,25 +182,27 @@ class ResBlock(nn.Module):
 
 class Downsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         # Asymmetric (0,1) padding + stride 2 (reference unet.py:184-196).
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
-                       padding='VALID', dtype=self.dtype,
-                       name='conv')(x)
+        return _conv_cls(self.quant)(
+            x.shape[-1], (3, 3), strides=(2, 2), padding='VALID',
+            dtype=self.dtype, name='conv')(x)
 
 
 class Upsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = jax.image.resize(x, (B, 2 * H, 2 * W, C), method='nearest')
-        return nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
-                       name='conv')(h)
+        return _conv_cls(self.quant)(
+            C, (3, 3), padding=1, dtype=self.dtype, name='conv')(h)
 
 
 def log_minus_exp(a, b, eps: float = 1e-6):
@@ -219,6 +245,12 @@ class UNet(nn.Module):
                  train: bool = False, return_hidden_states: bool = False):
         cfg = self.cfg
         cd = cfg.compute_dtype
+        qt = cfg.quant_int8
+        if qt and train:
+            raise ValueError(
+                'quant_int8 is an inference-only transform (jnp.round '
+                'kills gradients); train with it off and flip it on '
+                'for sampling/eval')
         img = cfg.image_size
         C = cfg.input_channels
         B = x.shape[0]
@@ -245,30 +277,34 @@ class UNet(nn.Module):
                           dtype=cd, name='cond_map')(cond)
             temb = ce if temb is None else temb + ce
 
-        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=cd,
-                    name='conv_in')(h)
+        h = _conv_cls(qt)(cfg.ch, (3, 3), padding=1, dtype=cd,
+                          name='conv_in')(h)
         hs = [h]
         # Downsampling
         for scale in range(cfg.num_scales):
             for res in range(cfg.num_res_blocks):
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
-                             cfg.skip_rescale, dtype=cd,
+                             cfg.skip_rescale, dtype=cd, quant=qt,
                              name=f'down_{scale}_{res}')(h, temb,
                                                          train=train)
                 if scale == cfg.scale_count_to_put_attn:
-                    h = AttnBlock(cfg.skip_rescale, dtype=cd,
+                    h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt,
                                   name=f'down_attn_{scale}_{res}')(h)
                 hs.append(h)
             if scale != cfg.num_scales - 1:
-                h = Downsample(dtype=cd, name=f'downsample_{scale}')(h)
+                h = Downsample(dtype=cd, quant=qt,
+                               name=f'downsample_{scale}')(h)
                 hs.append(h)
 
         # Middle
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     dtype=cd, name='mid_res0')(h, temb, train=train)
-        h = AttnBlock(cfg.skip_rescale, dtype=cd, name='mid_attn')(h)
+                     dtype=cd, quant=qt, name='mid_res0')(
+                         h, temb, train=train)
+        h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt,
+                      name='mid_attn')(h)
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     dtype=cd, name='mid_res1')(h, temb, train=train)
+                     dtype=cd, quant=qt, name='mid_res1')(
+                         h, temb, train=train)
 
         # Upsampling
         for scale in reversed(range(cfg.num_scales)):
@@ -276,14 +312,15 @@ class UNet(nn.Module):
                 h = jnp.concatenate(
                     [h, hs.pop().astype(h.dtype)], axis=-1)
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
-                             cfg.skip_rescale, dtype=cd,
+                             cfg.skip_rescale, dtype=cd, quant=qt,
                              name=f'up_{scale}_{res}')(h, temb,
                                                        train=train)
                 if scale == cfg.scale_count_to_put_attn:
-                    h = AttnBlock(cfg.skip_rescale, dtype=cd,
+                    h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt,
                                   name=f'up_attn_{scale}_{res}')(h)
             if scale != 0:
-                h = Upsample(dtype=cd, name=f'upsample_{scale}')(h)
+                h = Upsample(dtype=cd, quant=qt,
+                             name=f'upsample_{scale}')(h)
         assert not hs
 
         h = nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),

@@ -112,3 +112,23 @@ def test_bf16_compute_dtype_close_to_fp32():
     p95_tv = float(jnp.percentile(tv, 95))
     assert mean_tv < 0.03 and p95_tv < 0.08, (
         f'bf16 vs fp32 TV mean {mean_tv}, p95 {p95_tv}')
+
+
+def test_int8_quant_close_to_fp32_and_train_raises():
+    """quant_int8 UNet: same param tree as fp32, logits close (int8
+    dynamic-quant rounding only), train-mode use raises."""
+    model, params, x, sigma = _init()
+    ref = model.apply({'params': params}, x, sigma)
+    qcfg = dataclasses.replace(CFG, quant_int8=True)
+    qmodel = UNet(qcfg)
+    out = qmodel.apply({'params': params}, x, sigma)
+    assert out.shape == ref.shape
+    # log-prob space: int8 rounding moves the head logits slightly;
+    # the distributions must stay close in probability mass.
+    p_ref = np.exp(np.asarray(jax.nn.log_softmax(ref, -1)))
+    p_q = np.exp(np.asarray(jax.nn.log_softmax(out, -1)))
+    tv = 0.5 * np.abs(p_ref - p_q).sum(-1).mean()
+    assert tv < 0.05, tv
+    with pytest.raises(ValueError, match='inference-only'):
+        qmodel.apply({'params': params}, x, sigma, train=True,
+                     rngs={'dropout': KEY})
