@@ -292,6 +292,8 @@ def bench_train_text8(args):
         cfg = dataclasses.replace(cfg, attn_probs_bf16=True)
     if getattr(args, 'attn_remat', False):
         cfg = dataclasses.replace(cfg, attn_remat=True)
+    if getattr(args, 'fused_adaln', False):
+        cfg = dataclasses.replace(cfg, fused_adaln=True)
     accum = max(1, getattr(args, 'accum', 1))
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
@@ -346,6 +348,8 @@ def bench_train_text8(args):
         tag += ', attn-bf16'
     if getattr(args, 'attn_remat', False):
         tag += ', attn-remat'
+    if getattr(args, 'fused_adaln', False):
+        tag += ', fused-adaln'
     return _emit(
         f'text8 train tokens/sec/chip (DiT-small, L={cfg.length}, '
         f'B={B}' + tag + ')',
@@ -436,17 +440,20 @@ def bench_unet(args):
                                   diffusion_sample)
 
     # bf16 trunk = the reference protocol precision (its CIFAR runs
-    # train/sample under 16-mixed autocast); --fp32 for the A/B.
+    # train/sample under 16-mixed autocast); --fp32 for the A/B;
+    # --int8 A/Bs the s8 conv trunk (ops/quant.int8_conv).
     cd = jnp.float32 if getattr(args, 'fp32', False) else jnp.bfloat16
+    q8 = bool(getattr(args, 'int8', False))
     if args.quick:
         cfg = UNetConfig(ch=16, num_res_blocks=1, num_scales=2,
                          ch_mult=(1, 1), image_size=8, num_classes=10,
-                         dropout=0.0, compute_dtype=cd)
+                         dropout=0.0, compute_dtype=cd, quant_int8=q8)
         B, steps = 2, 4
     else:
         cfg = UNetConfig(ch=128, num_res_blocks=2, num_scales=4,
                          ch_mult=(1, 2, 2, 2), image_size=32,
-                         num_classes=10, dropout=0.0, compute_dtype=cd)
+                         num_classes=10, dropout=0.0, compute_dtype=cd,
+                         quant_int8=q8)
         # B=32 measured best on v5e (35.5 vs 34.1 at 16 / 34.1 at 64)
         B, steps = args.batch or 32, args.steps if args.steps != 1000 \
             else 128
@@ -502,7 +509,8 @@ def bench_unet(args):
     return _emit(
         f'CIFAR10 UNet D-CFG samples/sec/chip (uniform, T={steps}, '
         f'B={B}, fused={"on" if sampler.fused else "off"}'
-        + (', fp32' if getattr(args, 'fp32', False) else '') + ')',
+        + (', fp32' if getattr(args, 'fp32', False) else '')
+        + (', int8' if q8 else '') + ')',
         sps, 'samples/sec/chip',
         sps / baseline if baseline else None, _mfu(flops, dt))
 
@@ -574,6 +582,10 @@ def main():
                    action='store_true',
                    help='remat attention in --train backward '
                         '(DITConfig.attn_remat A/B)')
+    p.add_argument('--fused-adaln', dest='fused_adaln',
+                   action='store_true',
+                   help='fused adaLN-chain Pallas kernels in --train '
+                        '(DITConfig.fused_adaln A/B)')
     p.add_argument('--xla-scan', dest='xla_scan', action='store_true',
                    help='--dimamba with the XLA associative scan '
                         '(+block remat) instead of the Pallas kernel')
