@@ -1254,12 +1254,30 @@ def sample_eval(config: Config) -> dict:
 
 def lengths_eval(config: Config) -> dict:
     """mode=lengths_eval: PPL at several sequence lengths (fork
-    feature, reference main.py:321-325)."""
+    feature, reference main.py:321-325).
+
+    The checkpoint is restored ONCE and shared across lengths — every
+    backbone here is length-agnostic in its parameters (DiT uses RoPE,
+    DiMamba a conv+scan, neither holds a positional table), so only
+    the eval step itself re-jits per distinct length. The reference
+    re-instantiates the whole model per length; on TPU each avoided
+    restore+init also avoids a trip through the remote-compile tunnel."""
+    lengths = sorted({int(L) for L in
+                      config.eval.get('lengths', [8, 16, 32, 64, 128])})
+    base = Config(config.to_dict())
+    base.model['length'] = max(lengths)
+    tokenizer, spec, apply_fn, state, _ = _restore_for_eval(base)
+    del tokenizer
     results = {}
-    for length in config.eval.get('lengths', [8, 16, 32, 64, 128]):
+    for length in lengths:
         cfg = Config(config.to_dict())
-        cfg.model['length'] = int(length)
-        results[int(length)] = ppl_eval(cfg)
+        cfg.model['length'] = length
+        data = build_data(cfg)
+        metric = validate(cfg, spec, apply_fn, state, data['valid'],
+                          rng=jax.random.PRNGKey(int(config.seed)))
+        LOGGER.info(f'lengths_eval L={length}: ppl {metric.ppl:.4f} '
+                    f'bpd {metric.bpd:.4f}')
+        results[length] = metric.ppl
     LOGGER.info(f'lengths_eval: {results}')
     return results
 

@@ -147,6 +147,23 @@ class TestTrainE2E:
         ppl = M.ppl_eval(cfg)
         assert np.isfinite(ppl) and ppl > 1
 
+    def test_lengths_eval_mode(self, trained):
+        """lengths_eval restores once and evaluates every length; the
+        L=32 entry must match a standalone ppl_eval at the train
+        length (same checkpoint, same data seed)."""
+        tmp_path, config, _ = trained
+        cfg = _tiny_config(tmp_path, extra=[
+            'mode=lengths_eval',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last',
+            '+eval.lengths=[16,32]'])
+        res = M.lengths_eval(cfg)
+        assert set(res) == {16, 32}
+        assert all(np.isfinite(v) and v > 1 for v in res.values())
+        ref = M.ppl_eval(_tiny_config(tmp_path, extra=[
+            'mode=ppl_eval',
+            f'eval.checkpoint_path={tmp_path}/run/checkpoints/last']))
+        np.testing.assert_allclose(res[32], ref, rtol=1e-5)
+
     def test_sampling_from_trained(self, trained):
         tmp_path, config, state = trained
         tokenizer = M.build_tokenizer(config)
