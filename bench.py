@@ -615,6 +615,13 @@ def main():
         # metric. Registered BEFORE the backend probe so an outage
         # emits the same metric set as a healthy default run.
         selected['first_hitting_int8'] = False
+        # Best measured T=1000 step-for-step composition (round-4
+        # sweep, scripts/drive_ancestral_compose_tpu.py): int8 +
+        # feature-mix CFG at B=24 = 1.60x. fused-head COMPOSES DOWN
+        # with int8 (it forces the bf16 head over the int8 head
+        # matmul: 1.21x) and is neutral under bf16 (1.355x vs 1.362x),
+        # so the line runs int8 without it.
+        selected['ancestral_int8'] = False
 
     ok, note, timed_out = _backend_ok()
     if not ok and timed_out:
@@ -643,6 +650,11 @@ def main():
         workloads.append(
             ('first_hitting_int8',
              lambda: bench_sampling(int8_args, True)))
+    if 'ancestral_int8' in selected:
+        int8_args = argparse.Namespace(**{**vars(args), 'int8': True})
+        workloads.append(
+            ('ancestral_int8',
+             lambda: bench_sampling(int8_args, False)))
     for name, fn in workloads:
         if not (run_all or selected[name]):
             continue
