@@ -54,8 +54,8 @@ def _ln_stats(x32):
 def _mod_fwd(x32, w_ref, shift_ref, scale_ref, h_ref):
     xn, _ = _ln_stats(x32)
     w32 = w_ref[...].astype(jnp.float32)
-    sc = scale_ref[...].astype(jnp.float32)
-    sh = shift_ref[...].astype(jnp.float32)
+    sc = scale_ref[0].astype(jnp.float32)
+    sh = shift_ref[0].astype(jnp.float32)
     h_ref[0] = (xn * (w32 * (1.0 + sc)) + sh).astype(h_ref.dtype)
 
 
@@ -65,20 +65,20 @@ def _mod_bwd(x32, dh, w_ref, scale_ref, dw_ref, dshift_ref,
     conditioning grads and returns dx_ln (fp32 rows)."""
     @pl.when(init_perb)
     def _():
-        dshift_ref[...] = jnp.zeros_like(dshift_ref[...])
-        dscale_ref[...] = jnp.zeros_like(dscale_ref[...])
+        dshift_ref[0] = jnp.zeros_like(dshift_ref[0])
+        dscale_ref[0] = jnp.zeros_like(dscale_ref[0])
 
     @pl.when(init_w)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref[...])
 
     w32 = w_ref[...].astype(jnp.float32)
-    sc = scale_ref[...].astype(jnp.float32)
+    sc = scale_ref[0].astype(jnp.float32)
     d = x32.shape[-1]
     xn, r = _ln_stats(x32)
-    dshift_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dshift_ref[0] += jnp.sum(dh, axis=0, keepdims=True)
     s_dhxn = jnp.sum(dh * xn, axis=0, keepdims=True)
-    dscale_ref[...] += s_dhxn * w32
+    dscale_ref[0] += s_dhxn * w32
     dw_ref[...] += s_dhxn * (1.0 + sc)
     dxn = dh * (w32 * (1.0 + sc))
     md = jnp.sum(dxn, axis=-1, keepdims=True) / d
@@ -108,7 +108,11 @@ def _lm_bwd_kernel(x_ref, w_ref, scale_ref, dh_ref, dx_ref, dw_ref,
 def _specs(R, D):
     row = pl.BlockSpec((1, R, D), lambda b, k: (b, k, 0),
                        memory_space=pltpu.VMEM)
-    per_b = pl.BlockSpec((1, D), lambda b, k: (b, 0),
+    # Per-batch conditioning rides as (B, 1, D) with (1, 1, D) blocks:
+    # Mosaic requires the last two block dims divisible by (8, 128) or
+    # equal to the array dims — a (1, D) block over (B, D) is illegal
+    # on the real chip (interpret mode does not enforce this).
+    per_b = pl.BlockSpec((1, 1, D), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     w = pl.BlockSpec((1, D), lambda b, k: (0, 0),
                      memory_space=pltpu.VMEM)
@@ -132,7 +136,8 @@ def _ln_mod_fwd(x, w, shift, scale, interpret):
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
         interpret=interpret,
-    )(x, w.reshape(1, D), shift.reshape(B, D), scale.reshape(B, D))
+    )(x, w.reshape(1, D), shift.reshape(B, 1, D),
+      scale.reshape(B, 1, D))
     return h, (x, w, shift, scale)
 
 
@@ -148,10 +153,10 @@ def _ln_mod_bwd(interpret, res, dh):
         out_specs=(row, wspec, per_b, per_b),
         out_shape=(jax.ShapeDtypeStruct((B, L, D), x.dtype),
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, D), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32)),
         interpret=interpret,
-    )(x, w.reshape(1, D), scale.reshape(B, D), dh)
+    )(x, w.reshape(1, D), scale.reshape(B, 1, D), dh)
     return (dx,
             dw.astype(w.dtype).reshape(w.shape),
             dshift.astype(shift.dtype).reshape(shift.shape),
@@ -169,7 +174,7 @@ _ln_mod.defvjp(_ln_mod_fwd, _ln_mod_bwd)
 def _gr_fwd_kernel(y_ref, skip_ref, gate_ref, w_ref, shift_ref,
                    scale_ref, x_ref, h_ref):
     y32 = y_ref[0].astype(jnp.float32)
-    g32 = gate_ref[...].astype(jnp.float32)
+    g32 = gate_ref[0].astype(jnp.float32)
     x32 = skip_ref[0].astype(jnp.float32) + g32 * y32
     x_ref[0] = x32.astype(x_ref.dtype)
     _mod_fwd(x32, w_ref, shift_ref, scale_ref, h_ref)
@@ -182,7 +187,7 @@ def _gr_bwd_kernel(x_ref, y_ref, gate_ref, w_ref, scale_ref, dx_ref,
 
     @pl.when(k == 0)
     def _():
-        dgate_ref[...] = jnp.zeros_like(dgate_ref[...])
+        dgate_ref[0] = jnp.zeros_like(dgate_ref[0])
 
     x32 = x_ref[0].astype(jnp.float32)
     dx_ln = _mod_bwd(
@@ -191,8 +196,8 @@ def _gr_bwd_kernel(x_ref, y_ref, gate_ref, w_ref, scale_ref, dx_ref,
         init_w=(k == 0) & (pl.program_id(0) == 0))
     dx_tot = dx_ref[0].astype(jnp.float32) + dx_ln
     y32 = y_ref[0].astype(jnp.float32)
-    g32 = gate_ref[...].astype(jnp.float32)
-    dgate_ref[...] += jnp.sum(dx_tot * y32, axis=0, keepdims=True)
+    g32 = gate_ref[0].astype(jnp.float32)
+    dgate_ref[0] += jnp.sum(dx_tot * y32, axis=0, keepdims=True)
     dy_ref[0] = (dx_tot * g32).astype(dy_ref.dtype)
     dskip_ref[0] = dx_tot.astype(dskip_ref.dtype)
 
@@ -215,8 +220,8 @@ def _gate_res_fwd(y, skip, gate, w, shift, scale, interpret):
         out_shape=(jax.ShapeDtypeStruct((B, L, D), y.dtype),
                    jax.ShapeDtypeStruct((B, L, D), y.dtype)),
         interpret=interpret,
-    )(y, skip, gate.reshape(B, D), w.reshape(1, D),
-      shift.reshape(B, D), scale.reshape(B, D))
+    )(y, skip, gate.reshape(B, 1, D), w.reshape(1, D),
+      shift.reshape(B, 1, D), scale.reshape(B, 1, D))
     return (x_new, h), (x_new, y, gate, w, shift, scale)
 
 
@@ -233,13 +238,13 @@ def _gate_res_bwd(interpret, res, g):
         out_specs=(row, row, per_b, wspec, per_b, per_b),
         out_shape=(jax.ShapeDtypeStruct((B, L, D), y.dtype),
                    jax.ShapeDtypeStruct((B, L, D), y.dtype),
-                   jax.ShapeDtypeStruct((B, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, D), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32)),
         interpret=interpret,
-    )(x_new, y, gate.reshape(B, D), w.reshape(1, D),
-      scale.reshape(B, D), dx, dh)
+    )(x_new, y, gate.reshape(B, 1, D), w.reshape(1, D),
+      scale.reshape(B, 1, D), dx, dh)
     dy, dskip, dgate, dw, dshift, dscale = outs
     return (dy, dskip,
             dgate.astype(gate.dtype).reshape(gate.shape),
