@@ -222,8 +222,9 @@ def bench_ar(args):
     from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, ar_sample
 
     # B=64 default: 2B CFG rows = 128 fills the MXU tile (B=32 wastes
-    # half the systolic rows — 168.9 vs 347.8 samples/s measured;
-    # B=256 reaches 427 at 4 GB of pre-sampled Gumbel noise).
+    # half the systolic rows — 168.9 vs 356.0 samples/s measured with
+    # bucketed cache reads; B=256 reaches 446.9 at 4 GB of pre-sampled
+    # Gumbel noise).
     batch = args.batch or 64
     spec, cfg, apply_fn, params = _lm1b_setup(args.quick, causal=True)
     spec = dataclasses.replace(spec, parameterization='ar')
@@ -622,6 +623,11 @@ def main():
         # matmul: 1.21x) and is neutral under bf16 (1.355x vs 1.362x),
         # so the line runs int8 without it.
         selected['ancestral_int8'] = False
+        # int8 conv trunk beats the bf16 UNet step by 7.6% on chip
+        # (39.06 vs 36.3 samples/s, 0.945x vs 0.87x) — the round-3
+        # "at XLA's floor" claim did not survive the A/B. bf16 stays
+        # the parity line (reference protocol is 16-mixed autocast).
+        selected['unet_int8'] = False
 
     ok, note, timed_out = _backend_ok()
     if not ok and timed_out:
@@ -655,6 +661,10 @@ def main():
         workloads.append(
             ('ancestral_int8',
              lambda: bench_sampling(int8_args, False)))
+    if 'unet_int8' in selected:
+        int8_args = argparse.Namespace(**{**vars(args), 'int8': True})
+        workloads.append(
+            ('unet_int8', lambda: bench_unet(int8_args)))
     for name, fn in workloads:
         if not (run_all or selected[name]):
             continue
