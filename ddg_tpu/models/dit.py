@@ -125,11 +125,15 @@ class DITConfig:
     # kernel with a single-kernel custom VJP (conditioning grads
     # accumulate in-kernel) — the TPU counterpart of the reference's
     # torch.jit bias_dropout_add_scale/modulate_fused pair
-    # (models/dit.py:53-79,124-128). 'auto' resolves OFF pending the
-    # on-chip A/B; True opts in; 'interpret' runs the kernels in
-    # Pallas interpret mode (CPU tests). Requires adaLN conditioning
-    # and L % 128 == 0; disabled under tensor parallelism (opaque
-    # custom calls, like the other Pallas paths).
+    # (models/dit.py:53-79,124-128). Round-4 on-chip A/B at the text8
+    # train shape (B=256, L=256): NEUTRAL at accum=2 (157.9 vs
+    # 157.7K tok/s) and HBM-OOM single-shot at B=256 — the custom-VJP
+    # residuals pin full (B,L,D) streams and the custom-call layout
+    # constraints force copies that XLA's own fusion avoids. 'auto'
+    # therefore resolves OFF; True opts in; 'interpret' runs the
+    # kernels in Pallas interpret mode (CPU tests). Requires adaLN
+    # conditioning and L % 128 == 0; disabled under tensor parallelism
+    # (opaque custom calls, like the other Pallas paths).
     fused_adaln: 'str | bool' = 'auto'
     # Opt-in int8 dynamic-quant inference (ops/quant.py): the trunk
     # denses (qkv/out/mlp) and the vocab head run s8 x s8 -> s32 on the
