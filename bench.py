@@ -221,11 +221,12 @@ def bench_sampling(args, first_hitting):
 def bench_ar(args):
     from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, ar_sample
 
-    # B=64 default: 2B CFG rows = 128 fills the MXU tile (B=32 wastes
-    # half the systolic rows — 168.9 vs 356.0 samples/s measured with
-    # bucketed cache reads; B=256 reaches 446.9 at 4 GB of pre-sampled
-    # Gumbel noise).
-    batch = args.batch or 64
+    # B=256 default (measured 446.9 samples/s with bucketed cache
+    # reads; the 4 GB of pre-sampled Gumbel noise fits the 16G HBM
+    # with the caches at this shape). 2B CFG rows must be a multiple
+    # of the 128-row MXU tile: B=32 half-fills it (168.9/s), B=64
+    # (356.0/s) is the smallest full-tile batch.
+    batch = args.batch or 256
     spec, cfg, apply_fn, params = _lm1b_setup(args.quick, causal=True)
     spec = dataclasses.replace(spec, parameterization='ar')
     if args.quick:
@@ -278,7 +279,8 @@ def bench_train_text8(args):
         cfg = DITConfig(hidden_size=768, cond_dim=128, length=256,
                         n_blocks=12, n_heads=12, dropout=0.1,
                         vocab_size=35)
-        B = args.batch or 256
+        # Reference protocol global batch (train_text8.sh: 512).
+        B = args.batch or 512
     if getattr(args, 'flash_attn', False):
         if getattr(args, 'attn_bf16', False) \
                 or getattr(args, 'attn_remat', False):
@@ -295,7 +297,15 @@ def bench_train_text8(args):
         cfg = dataclasses.replace(cfg, attn_remat=True)
     if getattr(args, 'fused_adaln', False):
         cfg = dataclasses.replace(cfg, fused_adaln=True)
-    accum = max(1, getattr(args, 'accum', 1))
+    # Default accumulation keeps the micro-batch at 128: single-shot
+    # B>=256 pays HBM-pressure copies (measured round 4: B=256
+    # single-shot 138.5K tok/s vs accum=2 157.7K; B=512 accum=4
+    # 159.3K at 43.5% MFU — grad accumulation is exact for the
+    # mean-reduced masked loss, so the semantics of the global batch
+    # are unchanged). --accum N overrides.
+    accum = getattr(args, 'accum', None) or \
+        (B // 128 if B >= 256 and B % 128 == 0 else 1)
+    accum = max(1, accum)
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
                          vocab_size=cfg.vocab_size,
@@ -550,8 +560,9 @@ def _backend_ok(timeout=240):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch', type=int, default=None)
-    p.add_argument('--accum', type=int, default=1,
-                   help='grad-accumulation micro-steps for --train '
+    p.add_argument('--accum', type=int, default=None,
+                   help='grad-accumulation micro-steps for --train; '
+                        'default keeps the micro-batch at 128 '
                         '(global batch --batch split into this many '
                         'in-step lax.scan micro-batches)')
     p.add_argument('--steps', type=int, default=1000)
