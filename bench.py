@@ -297,14 +297,16 @@ def bench_train_text8(args):
         cfg = dataclasses.replace(cfg, attn_remat=True)
     if getattr(args, 'fused_adaln', False):
         cfg = dataclasses.replace(cfg, fused_adaln=True)
-    # Default accumulation keeps the micro-batch at 128: single-shot
-    # B>=256 pays HBM-pressure copies (measured round 4: B=256
-    # single-shot 138.5K tok/s vs accum=2 157.7K; B=512 accum=4
-    # 159.3K at 43.5% MFU — grad accumulation is exact for the
-    # mean-reduced masked loss, so the semantics of the global batch
-    # are unchanged). --accum N overrides.
+    # Default accumulation keeps the micro-batch at 16: the round-4c
+    # on-chip sweep at B=512 is monotone down to micro-16 and turns at
+    # micro-8 (accum 4/8/16/32/64 = 159.6/176.4/209.9/236.7/222.9K
+    # tok/s; 43.6 -> 64.7% MFU at micro-16) — per-micro activation
+    # HBM traffic shrinks with micro-batch until weight re-reads
+    # dominate. Grad accumulation is exact for the mean-reduced
+    # masked loss (tests/test_runtime.py accum-vs-manual parity), so
+    # global-batch semantics are unchanged. --accum N overrides.
     accum = getattr(args, 'accum', None) or \
-        (B // 128 if B >= 256 and B % 128 == 0 else 1)
+        (B // 16 if B >= 32 and B % 16 == 0 else 1)
     accum = max(1, accum)
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
