@@ -412,11 +412,19 @@ def bench_dimamba(args):
     optim = OptimSpec(lr=2e-3, num_warmup_steps=100)
     avg = AveragingSpec.ema(0.9999)
     state = init_train_state(rng, params, optim, avg)
-    step = jax.jit(make_train_step(spec, apply_fn, optim, avg),
+    # --accum probes micro-batching here too (text8's round-4c lever);
+    # default 1: at B=2 the candidate split is only micro-batch 1.
+    dm_accum = max(1, getattr(args, 'accum', None) or 1)
+    step = jax.jit(make_train_step(spec, apply_fn, optim, avg,
+                                   accum_steps=dm_accum),
                    donate_argnums=(0,))
     batch = {'input_ids': x,
              'attention_mask': jnp.ones((B, cfg.length), jnp.float32),
              'cond': cond}
+    if dm_accum > 1:
+        batch = jax.tree.map(
+            lambda a: a.reshape(dm_accum, B // dm_accum, *a.shape[1:]),
+            batch)
 
     flops = dimamba_train_flops(B, cfg.length, cfg.hidden_size,
                                 cfg.n_blocks, cfg.d_state,
@@ -435,6 +443,7 @@ def bench_dimamba(args):
         f'Species10 DiMamba train tokens/sec/chip (hidden '
         f'{cfg.hidden_size}, {cfg.n_blocks} blocks, L={cfg.length}, '
         f'B={B}'
+        + (f', accum={dm_accum}' if dm_accum > 1 else '')
         + (', xla-scan' if getattr(args, 'xla_scan', False) else '')
         + ')', tok_s, 'tokens/sec/chip', None,
         _mfu(flops / jax.device_count(), dt),
