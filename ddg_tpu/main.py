@@ -558,8 +558,34 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
             'tp_mode=sequence')
 
     accum = int(config.trainer.accumulate_grad_batches)
-    batch_size = int(config.loader.batch_size)
-    loader = FaultTolerantLoader(data['train'], batch_size * accum,
+    # Rows per optimizer update = loader.global_batch_size, the
+    # protocol's source of truth (reference configs/config.yaml:30).
+    # The resolver chain batch_size=global/devices,
+    # accum=global/(devices*batch_size) is PER-RANK Lightning math
+    # (each DDP rank's loader yields batch_size rows,
+    # dataloader.py:488-505); this single-process loader feeds the
+    # whole mesh, so it must yield the global rows itself — sizing it
+    # batch_size*accum would shrink the effective global batch by the
+    # data-parallel world size. Multi-host: each process loads its
+    # 1/process_count shard.
+    global_rows = int(config.loader.global_batch_size)
+    n_proc = jax.process_count()
+    if global_rows % (n_proc * accum) != 0:
+        raise ValueError(
+            f'loader.global_batch_size={global_rows} must divide by '
+            f'process_count({n_proc}) * accumulate_grad_batches'
+            f'({accum})')
+    rows = global_rows // n_proc
+    micro_rows = rows // accum
+    data_world = dict(mesh.shape).get('data', 1)
+    if micro_rows % data_world != 0:
+        raise ValueError(
+            f'per-step micro-batch rows ({micro_rows} = global '
+            f'{global_rows} / processes {n_proc} / accum {accum}) '
+            f'must divide by the mesh data axis ({data_world}); '
+            'raise loader.batch_size or lower '
+            'trainer.accumulate_grad_batches')
+    loader = FaultTolerantLoader(data['train'], rows,
                                  seed=int(config.seed))
     rng = jax.random.PRNGKey(int(config.seed))
     init_rng, state_rng = jax.random.split(rng)
@@ -600,7 +626,7 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                                  accum_steps=accum)
     jitted, place_state, place_batch = mesh_lib.shard_train_step(
         mesh, train_step, state, example,
-        tensor_rules=_tp_mode(config) == 'heads')
+        tensor_rules=_tp_mode(config) == 'heads', accum=accum > 1)
     state = place_state(state)
 
     save_dir = os.path.join(str(config.checkpointing.save_dir),
@@ -669,7 +695,8 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                 b = _flexible_truncate(config, b, tokenizer, crop_rng)
             yield _prep_batch(config, spec, b, accum=accum)
 
-    batch_sharding = mesh_lib.batch_shardings(mesh, example)
+    batch_sharding = mesh_lib.batch_shardings(mesh, example,
+                                              accum=accum > 1)
     batches = prefetch_to_device(host_batches(), size=2,
                                  sharding=batch_sharding)
 
@@ -860,7 +887,10 @@ def train_classifier(config: Config):
     optim_spec = build_optim_spec(config)
     avg_spec = build_averaging_spec(config)
 
-    batch_size = int(config.loader.batch_size)
+    # Global rows per step (see train(): loader.batch_size is
+    # per-rank Lightning math; this loader feeds every device).
+    batch_size = (int(config.loader.global_batch_size)
+                  // jax.process_count())
     loader = FaultTolerantLoader(data['train'], batch_size,
                                  seed=int(config.seed))
     rng = jax.random.PRNGKey(int(config.seed))

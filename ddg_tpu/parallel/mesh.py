@@ -83,8 +83,14 @@ def tensor_param_pspec(path: str, shape) -> Optional[P]:
     return None
 
 
-def batch_pspec() -> P:
-    return P('data')
+def batch_pspec(accum: bool = False) -> P:
+    """Batch sharding: rows over the data axis.
+
+    With grad accumulation the host batch carries a leading
+    (accum, micro, ...) layout — the ROWS dim is dim 1 (sharding dim 0
+    would scatter the accumulation steps across devices and force a
+    gather on every scan iteration)."""
+    return P(None, 'data') if accum else P('data')
 
 
 def param_pspec(shape, fsdp_size: int, min_size: int = 2 ** 14) -> P:
@@ -141,9 +147,9 @@ def state_shardings(mesh: Mesh, state, min_size: int = 2 ** 14,
     return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
 
-def batch_shardings(mesh: Mesh, batch):
+def batch_shardings(mesh: Mesh, batch, accum: bool = False):
     return jax.tree.map(
-        lambda _: NamedSharding(mesh, batch_pspec()), batch)
+        lambda _: NamedSharding(mesh, batch_pspec(accum)), batch)
 
 
 def replicated(mesh: Mesh):
@@ -151,14 +157,15 @@ def replicated(mesh: Mesh):
 
 
 def shard_train_step(mesh: Mesh, train_step, state, batch,
-                     tensor_rules: bool = True):
+                     tensor_rules: bool = True, accum: bool = False):
     """jit the train step with explicit in/out shardings.
 
     Returns (jitted_step, sharded_state, place_batch) where place_batch
-    moves a host batch onto the mesh.
+    moves a host batch onto the mesh. `accum=True` marks batches with a
+    leading (accum, micro, ...) layout so rows (dim 1) shard over data.
     """
     st_sh = state_shardings(mesh, state, tensor_rules=tensor_rules)
-    b_sh = batch_shardings(mesh, batch)
+    b_sh = batch_shardings(mesh, batch, accum)
     metric_sh = replicated(mesh)
 
     # metric_sh is a prefix pytree: one sharding applies to all metrics.
@@ -195,7 +202,7 @@ def shard_train_step(mesh: Mesh, train_step, state, batch,
         return jax.device_put(s, st_sh)
 
     def place_batch(b):
-        return jax.device_put(b, batch_shardings(mesh, b))
+        return jax.device_put(b, batch_shardings(mesh, b, accum))
 
     return jitted, place_state, place_batch
 

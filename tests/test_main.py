@@ -132,6 +132,43 @@ class TestTrainE2E:
         assert any('trainer/loss' in l for l in lines)
         assert any('val/ppl' in l for l in lines)
 
+    def test_train_loader_feeds_global_batch(self, tmp_path,
+                                             monkeypatch):
+        """Multi-device parity: the train loader must yield
+        loader.global_batch_size rows per optimizer step. The config
+        resolvers compute PER-RANK batch_size/accumulate (Lightning
+        DDP math, reference configs/config.yaml:30-33,107); sizing
+        the single-process loader batch_size*accum would shrink the
+        effective global batch by the data-parallel world size."""
+        captured = {}
+        real = M.FaultTolerantLoader
+
+        class Rec(real):
+            def __init__(self, data, batch_size, **kw):
+                captured['rows'] = batch_size
+                super().__init__(data, batch_size, **kw)
+
+        monkeypatch.setattr(M, 'FaultTolerantLoader', Rec)
+        # Simulate the 8-device resolver default: per-rank batch 2,
+        # accum 1 — the global step batch must still be 16.
+        cfg = _tiny_config(tmp_path, extra=[
+            'trainer.devices=8', 'loader.global_batch_size=16',
+            'loader.batch_size=2', 'trainer.max_steps=1',
+            'trainer.val_check_interval=10'])
+        M.train(cfg)
+        assert captured['rows'] == 16
+
+    def test_train_rejects_unshardable_micro_batch(self, tmp_path):
+        """micro rows must divide the mesh data axis (8 CPU devices
+        here): global 16 with accum 8 leaves micro 2 — refused loudly
+        instead of failing inside GSPMD."""
+        cfg = _tiny_config(tmp_path, extra=[
+            'loader.global_batch_size=16', 'loader.batch_size=2',
+            'trainer.accumulate_grad_batches=8',
+            'trainer.max_steps=1'])
+        with pytest.raises(ValueError, match='data axis'):
+            M.train(cfg)
+
     def test_resume_from_checkpoint(self, trained):
         tmp_path, config, _ = trained
         # Raise max_steps: training resumes from step 8 and continues.
