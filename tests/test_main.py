@@ -145,7 +145,10 @@ class TestTrainE2E:
 
         class Rec(real):
             def __init__(self, data, batch_size, **kw):
-                captured['rows'] = batch_size
+                # First construction only: train() builds the train
+                # loader before the validation loader, and the val
+                # loader's (tiny) batch must not overwrite the capture.
+                captured.setdefault('rows', batch_size)
                 super().__init__(data, batch_size, **kw)
 
         monkeypatch.setattr(M, 'FaultTolerantLoader', Rec)
