@@ -233,10 +233,12 @@ def bench_ar(args):
         batch = 4
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
     cond = jnp.zeros((batch,), jnp.int32)
+    kv_int8 = bool(getattr(args, 'int8', False))
+    sampler = SamplerSpec(steps=args.steps, ar_kv_int8=kv_int8)
 
     @jax.jit
     def run(params, key):
-        return ar_sample(spec, SamplerSpec(steps=args.steps), apply_fn,
+        return ar_sample(spec, sampler, apply_fn,
                          params, key, batch_size=batch,
                          length=cfg.length, bos_token_id=0,
                          guidance=guidance, cond=cond, decode_cfg=cfg)
@@ -253,7 +255,8 @@ def bench_ar(args):
     sps = batch / dt / jax.device_count()
     return _emit(
         f'LM1B AR-CFG samples/sec/chip (KV-cache decode, B={batch}, '
-        + ('tiny' if args.quick else 'DiT-small') + ')',
+        + ('tiny' if args.quick else 'DiT-small')
+        + (', int8-kv' if kv_int8 else '') + ')',
         sps, 'samples/sec/chip', sps / AR_BASELINE, _mfu(flops, dt))
 
 

@@ -21,11 +21,31 @@ import jax.numpy as jnp
 from ddg_tpu.models.dit import DITConfig, rope_cos_sin, timestep_embedding
 
 
-def init_cache(cfg: DITConfig, batch_size: int) -> Dict:
+def init_cache(cfg: DITConfig, batch_size: int,
+               kv_int8: bool = False) -> Dict:
     head_dim = cfg.hidden_size // cfg.n_heads
     shape = (cfg.n_blocks, batch_size, cfg.length, cfg.n_heads, head_dim)
+    if kv_int8:
+        # int8 rows + per-(block,b,l,h) scales: halves the per-step
+        # HBM cache-read traffic that dominates batched decode
+        # (dec_B=512: ~2.4 GB/step of bf16 k/v reads vs ~0.23 GB of
+        # weights). Scales ride outside the MXU contractions — see
+        # decode_step — so nothing is dequantized to a full bf16 copy.
+        sshape = shape[:-1]
+        return {'k': jnp.zeros(shape, jnp.int8),
+                'v': jnp.zeros(shape, jnp.int8),
+                'k_s': jnp.zeros(sshape, jnp.float32),
+                'v_s': jnp.zeros(sshape, jnp.float32)}
     return {'k': jnp.zeros(shape, cfg.compute_dtype),
             'v': jnp.zeros(shape, cfg.compute_dtype)}
+
+
+def _quant_row(x):
+    """Per-(B,H) int8 row quant over head_dim. x: (B, H, D)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return q.astype(jnp.int8), scale
 
 
 def _dense(p, x):
@@ -93,6 +113,9 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
 
     cos, sin = _rope_at(pos, head_dim)
     k_all, v_all = cache['k'], cache['v']
+    kv_int8 = 'k_s' in cache
+    if kv_int8:
+        ks_all, vs_all = cache['k_s'], cache['v_s']
     for i in range(cfg.n_blocks):
         p = params[f'block_{i}']
         if cfg.use_adaLN and c is not None:
@@ -113,27 +136,57 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         # slice-per-block + jnp.stack rebuilt the full cache every
         # step: ~2 full-cache copies (~2.4 GB/step at 2B=512) of pure
         # memory traffic.
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None, :, None].astype(k_all.dtype),
-            (i, 0, pos, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None, :, None].astype(v_all.dtype),
-            (i, 0, pos, 0, 0))
+        if kv_int8:
+            kq, ksc = _quant_row(k)
+            vq, vsc = _quant_row(v)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, kq[None, :, None], (i, 0, pos, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, vq[None, :, None], (i, 0, pos, 0, 0))
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ksc[None, :, None], (i, 0, pos, 0))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vsc[None, :, None], (i, 0, pos, 0))
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[None, :, None].astype(k_all.dtype),
+                (i, 0, pos, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[None, :, None].astype(v_all.dtype),
+                (i, 0, pos, 0, 0))
         k_cache = jax.lax.slice_in_dim(k_all[i], 0, W, axis=1)
         v_cache = jax.lax.slice_in_dim(v_all[i], 0, W, axis=1)
         # attention of the single query over positions <= pos — MXU
         # dots on the cache's own dtype with fp32 accumulation (the
         # same policy as the training forward's bf16 SDPA; the old
         # .astype(fp32) materialized fp32 cache copies, ~4.8 GB/step
-        # at 2B=512).
-        logits = jnp.einsum('bhd,blhd->bhl', q, k_cache,
-                            preferred_element_type=jnp.float32)
+        # at 2B=512). On the int8 cache, the per-row scales multiply
+        # OUTSIDE the d-contraction (logits scale by k's row scale;
+        # v's row scale folds into the softmax weights), so the dots
+        # read int8 from HBM — half the bytes — and the int8->bf16
+        # convert fuses into the dot operand, never materializing a
+        # dequantized cache copy.
+        logits = jnp.einsum(
+            'bhd,blhd->bhl', q,
+            k_cache.astype(q.dtype) if kv_int8 else k_cache,
+            preferred_element_type=jnp.float32)
+        if kv_int8:
+            k_sc = jax.lax.slice_in_dim(ks_all[i], 0, W, axis=1)
+            logits = logits * jnp.swapaxes(k_sc, 1, 2)
         logits = logits / jnp.sqrt(jnp.float32(head_dim))
         l_ids = jnp.arange(W)
         logits = jnp.where(l_ids[None, None, :] <= pos, logits, -1e30)
-        w = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
-        attn = jnp.einsum('bhl,blhd->bhd', w, v_cache,
-                          preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1)
+        if kv_int8:
+            v_sc = jax.lax.slice_in_dim(vs_all[i], 0, W, axis=1)
+            w = (w * jnp.swapaxes(v_sc, 1, 2)).astype(cfg.compute_dtype)
+            attn = jnp.einsum('bhl,blhd->bhd', w,
+                              v_cache.astype(cfg.compute_dtype),
+                              preferred_element_type=jnp.float32)
+        else:
+            w = w.astype(v_cache.dtype)
+            attn = jnp.einsum('bhl,blhd->bhd', w, v_cache,
+                              preferred_element_type=jnp.float32)
         attn = attn.reshape(B, cfg.hidden_size).astype(cfg.compute_dtype)
         h = _dense(p['attn_out'], attn)
         if cfg.use_adaLN and c is not None:
@@ -157,4 +210,7 @@ def decode_step(cfg: DITConfig, params, cache: Dict, token: jax.Array,
         h = h * (1 + scale) + shift
     logits = _dense(params['output_linear'],
                     h.astype(cfg.logits_dtype)).astype(jnp.float32)
-    return logits, {'k': k_all, 'v': v_all}
+    new_cache = {'k': k_all, 'v': v_all}
+    if kv_int8:
+        new_cache.update({'k_s': ks_all, 'v_s': vs_all})
+    return logits, new_cache

@@ -102,6 +102,13 @@ class SamplerSpec:
     # (diffusion.py:1132-1133). DiT decode only; >1 compiles one scan
     # body per bucket.
     ar_buckets: int = 4
+    # Opt-in int8 KV cache for AR decode (DiT only): k/v rows stored
+    # int8 with per-(block,b,pos,head) scales; the scales multiply
+    # outside the MXU contractions so the dots read int8 (half the
+    # HBM bytes of bf16 — cache reads dominate the batched decode
+    # step). Changes sampling numerics at the quantization level
+    # (~0.4% logit noise); NOT token-identical to the bf16 cache.
+    ar_kv_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -962,7 +969,45 @@ def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
         else:
             dec_cond = cond
 
-    cache0 = init_cache(decode_cfg, dec_B)
+    # Pre-cast the dense kernels/biases ONCE, outside the position
+    # scan. decode_step casts fp32 params to the activation dtype
+    # in-loop (`_dense`); whether XLA hoists that convert out of the
+    # scan body is at the mercy of LICM, and when it doesn't, every
+    # decode step re-reads the fp32 weights from HBM (2x the bytes of
+    # the bf16 copy it actually multiplies with). Casting here is
+    # numerically identical — the same fp32->bf16 rounding happens
+    # either way — so the token-identity tests against the
+    # full-recompute path are unaffected. Norm weights, embeddings,
+    # and the cond map are left fp32 (decode_step consumes those in
+    # fp32 before casting activations).
+    def _precast(tree, dt, ld):
+        def go(d, under_out):
+            out = {}
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    out[k] = go(v, under_out or k == 'output_linear')
+                elif (k in ('kernel', 'bias')
+                      and v.dtype == jnp.float32):
+                    out[k] = v.astype(ld if under_out else dt)
+                else:
+                    out[k] = v
+            return out
+        return go(tree, False)
+
+    cdt = getattr(decode_cfg, 'compute_dtype', jnp.float32)
+    ldt = getattr(decode_cfg, 'logits_dtype', cdt)
+    if (supports_window and cdt != jnp.float32
+            and isinstance(params, dict)):
+        # DiT decode only: DiMamba decode runs its recurrence in fp32
+        # and its layer norms key on 'bias', so precasting there would
+        # change numerics (and its weights are a tiny fraction of the
+        # O(1)-state step anyway).
+        params = _precast(params, cdt, ldt)
+
+    if supports_window and sampler.ar_kv_int8:
+        cache0 = init_cache(decode_cfg, dec_B, kv_int8=True)
+    else:
+        cache0 = init_cache(decode_cfg, dec_B)
     x0 = jnp.zeros((batch_size, length), dtype=jnp.int32)
     x0 = x0.at[:, 0].set(bos_token_id)
 

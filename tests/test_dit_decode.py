@@ -50,6 +50,27 @@ def test_decode_with_cond_matches():
                                    rtol=1e-3)
 
 
+def test_decode_int8_kv_close_to_fp():
+    """int8 KV cache tracks the exact cache at quantization error.
+
+    Per-row int8 over head_dim bounds the k/v relative error at
+    ~1/254 per element; through the softmax+value dot the logits stay
+    within ~1% relative of the exact path on random weights.
+    """
+    model, params, x = _setup()
+    full = model.apply({'params': params}, x, None)
+    cache = init_cache(CFG, 2, kv_int8=True)
+    assert cache['k'].dtype == jnp.int8
+    for pos in range(CFG.length):
+        logits, cache = decode_step(CFG, params, cache, x[:, pos],
+                                    jnp.asarray(pos))
+        ref = np.asarray(full[:, pos])
+        err = np.abs(np.asarray(logits) - ref).max()
+        span = np.abs(ref).max()
+        assert err < 0.02 * span, \
+            f'pos {pos}: abs err {err} vs logit scale {span}'
+
+
 def test_decode_in_scan():
     """decode_step composes with lax.scan (static shapes)."""
     model, params, x = _setup()
