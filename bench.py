@@ -218,6 +218,165 @@ def bench_sampling(args, first_hitting):
         sps / A100_BASELINE_SAMPLES_PER_SEC, _mfu(flops, dt))
 
 
+def _qm9_cbg_setup(quick, *, approx=False):
+    """QM9 eval-protocol shapes (reference scripts/eval_qm9_guidance.sh
+    + guidance_eval/qm9_eval.py:88-204): DiT-small denoiser (model=small,
+    model.length=32) over the QM9 SMILES vocab (35 + mask), tiny DIT
+    classifier (classifier_model=tiny-classifier: hidden 512, 8
+    blocks), B=16, T=32."""
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.models import (DIT, DITClassifier, DITConfig,
+                                make_classifier_apply, make_model_apply)
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+
+    if quick:
+        cfg = DITConfig(hidden_size=64, cond_dim=32, length=16,
+                        n_blocks=2, n_heads=2, dropout=0.0,
+                        vocab_size=36)
+        clf_cfg = dataclasses.replace(cfg, hidden_size=32, n_blocks=1,
+                                      n_heads=1)
+    else:
+        cfg = DITConfig(hidden_size=768, cond_dim=128, length=32,
+                        n_blocks=12, n_heads=12, dropout=0.0,
+                        vocab_size=36)
+        clf_cfg = dataclasses.replace(cfg, hidden_size=512, n_blocks=8,
+                                      n_heads=8)
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='subs', noise=LogLinearNoise(),
+                         vocab_size=cfg.vocab_size,
+                         mask_index=cfg.vocab_size - 1)
+    model = DIT(cfg)
+    apply_fn = make_model_apply(model)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)
+    params = model.init(rng, x, jnp.ones((1,)))['params']
+    clf = DITClassifier(clf_cfg, num_classes=2, pooling='mean')
+    clf_apply = make_classifier_apply(clf)
+    # CBG-approx differentiates through one-hot inputs; init with the
+    # one-hot signature so tracing in-sampler matches.
+    x_in = (jax.nn.one_hot(x, cfg.vocab_size) if approx else x)
+    clf_params = clf.init(jax.random.PRNGKey(1), x_in,
+                          jnp.ones((1,)))['params']
+    return spec, cfg, clf_cfg, apply_fn, params, clf_apply, clf_params
+
+
+def bench_cbg(args, approx=False):
+    """QM9 D-CBG guided sampling — the repo's namesake capability
+    (reference diffusion.py:1511-1624 `_cbg_denoise`, measured at the
+    qm9_eval.py protocol shape). Exact mode scores ALL B*L*V
+    single-token edits with the classifier each reverse step (chunked
+    lax.map, samplers.classifier_log_probs_edits); approx mode takes
+    one classifier gradient at the one-hot of xt (first-order Taylor,
+    diffusion.py:1532-1548)."""
+    from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
+                                  diffusion_sample)
+
+    (spec, cfg, clf_cfg, apply_fn, params, clf_apply,
+     clf_params) = _qm9_cbg_setup(args.quick, approx=approx)
+    B = args.batch or 16
+    steps = 32 if args.steps == 1000 else args.steps
+    if args.quick:
+        B, steps = 2, 4
+    L, V = cfg.length, cfg.vocab_size
+    # cbg_chunk: edits per lax.map chunk. 0 -> one chunk of all L*V
+    # edits (no padding waste; the classifier forward is one
+    # (B*L*V, L) batch per step).
+    chunk = getattr(args, 'cbg_chunk', None) or L * V
+    sampler = SamplerSpec(steps=steps, use_cache=False, fused=False)
+    guidance = GuidanceSpec(method='cbg', gamma=2.0, condition=1,
+                            use_approx=approx, cbg_chunk=chunk)
+
+    @jax.jit
+    def run(params, clf_params, key):
+        return diffusion_sample(spec, sampler, apply_fn, params, key,
+                                batch_size=B, length=L,
+                                guidance=guidance,
+                                classifier_apply=clf_apply,
+                                classifier_params=clf_params)
+
+    Dm, Dc = cfg.hidden_size, clf_cfg.hidden_size
+    denoiser = dit_trunk_flops(B, L, Dm, cfg.n_blocks) \
+        + dit_head_flops(B, L, Dm, V)
+    if approx:
+        # One classifier fwd+bwd (3x fwd) on one-hot inputs per step:
+        # the one-hot embed is a real (B*L, V)x(V, Dc) matmul here.
+        clf_flops = 3 * (dit_trunk_flops(B, L, Dc, clf_cfg.n_blocks)
+                         + 2 * B * L * V * Dc)
+    else:
+        padded = -(-L * V // chunk) * chunk   # edits scored per sample
+        clf_flops = dit_trunk_flops(B * padded, L, Dc, clf_cfg.n_blocks)
+    flops = steps * (denoiser + clf_flops)
+    dt, out = _timeit(run, (params, clf_params, jax.random.PRNGKey(2)),
+                      iters=1 if args.quick else (2 if not approx
+                                                  else 3))
+    assert out.shape == (B, L)
+    sps = B / dt / jax.device_count()
+    baseline = A100_EFFECTIVE_FLOPS / (flops / B)
+    mode = 'approx' if approx else f'exact, chunk={chunk}'
+    return _emit(
+        f'QM9 D-CBG samples/sec/chip ({mode}, T={steps}, B={B}, '
+        + ('tiny' if args.quick else
+           'DiT-small + tiny-classifier') + ')',
+        sps, 'samples/sec/chip', sps / baseline, _mfu(flops, dt))
+
+
+def bench_nos(args):
+    """NOS guided sampling at the LM1B flagship shape (reference
+    diffusion.py:1626-1736 `_nos_denoise`): per reverse step, Adagrad
+    ascent on a hidden-state delta through the classifier head + the
+    denoiser output head (the trunk runs once; the inner loop
+    differentiates only the heads, reference dit.py:516-536 x_emb
+    path)."""
+    from ddg_tpu.models import DITClassifier, make_classifier_apply
+    from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
+                                  diffusion_sample)
+
+    spec, cfg, apply_fn, params = _lm1b_setup(args.quick)
+    B = args.batch or 16
+    steps = 128 if args.steps == 1000 else args.steps
+    nos_steps = getattr(args, 'nos_steps', None) or 1
+    if args.quick:
+        B, steps = 2, 4
+    L, D, V = cfg.length, cfg.hidden_size, cfg.vocab_size
+    # NOS classifier = pooling + linear head over the denoiser's
+    # hidden states (frozen-encoder protocol, reference
+    # main.py:218-234); init via the x_emb signature.
+    clf = DITClassifier(cfg, num_classes=2, pooling='mean')
+    clf_apply = make_classifier_apply(clf)
+    clf_params = clf.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, L), jnp.int32), jnp.ones((1,)),
+                          jnp.zeros((1, L, D)))['params']
+    sampler = SamplerSpec(steps=steps, use_cache=False, fused=False)
+    guidance = GuidanceSpec(method='nos', condition=1,
+                            num_nos_steps=nos_steps, nos_step_size=0.1,
+                            nos_stability_coef=0.01)
+
+    @jax.jit
+    def run(params, clf_params, key):
+        return diffusion_sample(spec, sampler, apply_fn, params, key,
+                                batch_size=B, length=L,
+                                guidance=guidance,
+                                classifier_apply=clf_apply,
+                                classifier_params=clf_params)
+
+    # Per step: one trunk fwd; the Adagrad loop differentiates the
+    # vocab head (fwd+bwd ~ 3x) per inner step, plus the final guided
+    # head fwd. Classifier head (D x 2) is negligible.
+    head = dit_head_flops(B, L, D, V)
+    flops = steps * (dit_trunk_flops(B, L, D, cfg.n_blocks)
+                     + head * (2 + 3 * nos_steps))
+    dt, out = _timeit(run, (params, clf_params, jax.random.PRNGKey(2)),
+                      iters=1 if args.quick else 3)
+    assert out.shape == (B, L)
+    sps = B / dt / jax.device_count()
+    baseline = A100_EFFECTIVE_FLOPS / (flops / B)
+    return _emit(
+        f'LM1B NOS samples/sec/chip (T={steps}, B={B}, '
+        f'nos_steps={nos_steps}, '
+        + ('tiny' if args.quick else 'DiT-small') + ')',
+        sps, 'samples/sec/chip', sps / baseline, _mfu(flops, dt))
+
+
 def bench_ar(args):
     from ddg_tpu.samplers import GuidanceSpec, SamplerSpec, ar_sample
 
@@ -615,6 +774,14 @@ def main():
     p.add_argument('--xla-scan', dest='xla_scan', action='store_true',
                    help='--dimamba with the XLA associative scan '
                         '(+block remat) instead of the Pallas kernel')
+    p.add_argument('--cbg-chunk', dest='cbg_chunk', type=int,
+                   default=None,
+                   help='--cbg: edits per classifier chunk '
+                        '(0/default = one chunk of all L*V edits)')
+    p.add_argument('--nos-steps', dest='nos_steps', type=int,
+                   default=None,
+                   help='--nos: Adagrad inner steps (default 1, the '
+                        'reference configs/guidance/nos.yaml)')
     # workload selectors (default: full suite)
     p.add_argument('--first-hitting', action='store_true')
     p.add_argument('--ancestral', action='store_true')
@@ -622,6 +789,16 @@ def main():
     p.add_argument('--train', action='store_true')
     p.add_argument('--dimamba', action='store_true')
     p.add_argument('--unet', action='store_true')
+    p.add_argument('--cbg', action='store_true',
+                   help='QM9 D-CBG exact guided sampling (the '
+                        'namesake classifier-guided workload)')
+    p.add_argument('--cbg-approx', dest='cbg_approx',
+                   action='store_true',
+                   help='D-CBG first-order approximation at the QM9 '
+                        'eval shape')
+    p.add_argument('--nos', action='store_true',
+                   help='NOS hidden-state-ascent guidance at the LM1B '
+                        'flagship shape')
     args = p.parse_args()
 
     selected = {
@@ -631,6 +808,9 @@ def main():
         'train': args.train,
         'dimamba': args.dimamba,
         'unet': args.unet,
+        'cbg': args.cbg,
+        'cbg_approx': args.cbg_approx,
+        'nos': args.nos,
     }
     run_all = not any(selected.values())
     if run_all and not args.int8:
@@ -675,6 +855,13 @@ def main():
         ('train', lambda: bench_train_text8(args)),
         ('dimamba', lambda: bench_dimamba(args)),
         ('unet', lambda: bench_unet(args)),
+        # Classifier-guided sampling — the namesake capability
+        # (diffusion.py:1511-1736): D-CBG exact at the QM9 eval-
+        # protocol shape and NOS at the LM1B flagship shape run in
+        # the default suite (VERDICT r4 next #1).
+        ('cbg', lambda: bench_cbg(args, approx=False)),
+        ('cbg_approx', lambda: bench_cbg(args, approx=True)),
+        ('nos', lambda: bench_nos(args)),
     ]
     if 'first_hitting_int8' in selected:
         int8_args = argparse.Namespace(**{**vars(args), 'int8': True})

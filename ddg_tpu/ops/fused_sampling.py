@@ -464,7 +464,7 @@ def fused_uniform_cfg_sample(seed, xt, logits_cond, logits_uncond,
 def _head_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, feats_ref, w_ref,
                  bias_ref, *refs, vocab_size: int, mask_index: int,
                  n_v: int, tile_v: int, n_l: int,
-                 external_gumbel: bool):
+                 external_gumbel: bool, quantized: bool = False):
     (out_ref, m_ref, s_ref, best_ref, idx_ref, mg_ref) = refs[-6:]
     v = pl.program_id(0)
     b = pl.program_id(1)
@@ -473,9 +473,26 @@ def _head_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, feats_ref, w_ref,
 
     feats_t = feats_ref[0]                      # (D, TL)
     w_t = w_ref[...]                            # (TV, D)
-    logits = jax.lax.dot_general(
-        w_t, feats_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bias_ref[...]  # (TV, TL)
+    if quantized:
+        # int8 head (round-5, VERDICT r4 next #5): s8 x s8 -> s32 MXU
+        # dot at 2x the bf16 rate, rescaled exactly like
+        # ops/quant.int8_dense (per-token activation scale x
+        # per-vocab-row weight scale) — the composition that was
+        # previously impossible (the bf16 fused head displaced the
+        # int8 head matmul, measured -24%).
+        wscale_ref, xscale_ref = refs[0], refs[1]
+        acc = jax.lax.dot_general(
+            w_t, feats_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (TV, TL)
+        # (acc * x_scale) * w_scale — the exact multiply order of
+        # ops/quant.int8_dense, so logits are bit-identical to the
+        # unfused int8 head.
+        logits = (acc.astype(jnp.float32) * xscale_ref[0, 0]
+                  * wscale_ref[...] + bias_ref[...])
+    else:
+        logits = jax.lax.dot_general(
+            w_t, feats_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias_ref[...]
 
     v_ids = v * tile_v + jax.lax.broadcasted_iota(
         jnp.int32, logits.shape, 0)
@@ -490,7 +507,8 @@ def _head_kernel(seed_ref, xt_ref, mct_ref, mcs_ref, feats_ref, w_ref,
                  axis=0, keepdims=True)
 
     if external_gumbel:
-        g = refs[0][0].astype(jnp.float32)                 # (TV, TL)
+        g_ref = refs[2] if quantized else refs[0]
+        g = g_ref[0].astype(jnp.float32)                   # (TV, TL)
     else:
         pltpu.prng_seed(_mix32(seed_ref[0]
                                + jnp.int32(n_v) * cell + v))
@@ -614,6 +632,119 @@ def fused_absorbing_head_sample(seed, xt, feats_t, w_t, bias_col,
         interpret=interpret,
     )(*args)
     return out.reshape(B, L)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('vocab_size', 'mask_index',
+                                    'tile_l', 'tile_v', 'interpret'))
+def fused_absorbing_head_sample_int8(seed, xt, feats_q_t, x_scale,
+                                     w_q, w_scale, bias_col,
+                                     move_chance_t, move_chance_s, *,
+                                     vocab_size: int, mask_index: int,
+                                     tile_l=None, tile_v=2048,
+                                     interpret=False, gumbel_t=None):
+    """int8 variant of fused_absorbing_head_sample: the vocab matmul
+    runs s8 x s8 -> s32 on the MXU (2x the bf16 rate on v5e) with the
+    SAME quantization scheme as ops/quant.int8_dense — per-token
+    activation scales, per-output-channel weight scales — so it is the
+    exact fused form of the int8 head matmul + fused_absorbing_sample
+    chain, minus the (B, L, V) logits HBM round-trip.
+
+    feats_q_t: (B, D, L) int8 (transposed quantized head features);
+    x_scale: (B, 1, L) fp32 per-token scales; w_q: (Vp, D) int8
+    (transposed, zero-padded); w_scale: (Vp, 1) fp32; bias_col:
+    (Vp, 1) fp32. See quantize_head_inputs/quantize_head_weights.
+    """
+    B, D, L = feats_q_t.shape
+    Vp = w_q.shape[0]
+    assert Vp % tile_v == 0 and Vp >= vocab_size, (Vp, tile_v)
+    if tile_l is None:
+        t = min(128, L)
+        while t > 1 and L % t:
+            t //= 2
+        tile_l = max(t, 1)
+    assert L % tile_l == 0, (L, tile_l)
+    n_l = L // tile_l
+    n_v = Vp // tile_v
+    grid = (n_v, B, n_l)
+    xt4 = xt.reshape(B, n_l, 1, tile_l)
+    xs4 = x_scale.astype(jnp.float32).reshape(B, n_l, 1, tile_l)
+    kernel = functools.partial(
+        _head_kernel, vocab_size=vocab_size, mask_index=mask_index,
+        n_v=n_v, tile_v=tile_v, n_l=n_l,
+        external_gumbel=gumbel_t is not None, quantized=True)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, tile_l), lambda v, b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, D, tile_l), lambda v, b, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, D), lambda v, b, i: (v, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, 1), lambda v, b, i: (v, 0),
+                     memory_space=pltpu.VMEM),
+        # w_scale, x_scale (the quantized=True extra refs, in order)
+        pl.BlockSpec((tile_v, 1), lambda v, b, i: (v, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, tile_l), lambda v, b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray([seed], jnp.int32), xt4,
+            move_chance_t.astype(jnp.float32),
+            move_chance_s.astype(jnp.float32), feats_q_t, w_q,
+            bias_col.astype(jnp.float32),
+            w_scale.astype(jnp.float32), xs4]
+    if gumbel_t is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, tile_v, tile_l), lambda v, b, i: (b, v, i),
+            memory_space=pltpu.VMEM))
+        args.append(gumbel_t)
+    cells = B * n_l
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, tile_l),
+                               lambda v, b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_l, 1, tile_l), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # m
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # s
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # best
+            pltpu.VMEM((cells, 1, tile_l), jnp.int32),     # best idx
+            pltpu.VMEM((cells, 1, tile_l), jnp.float32),   # mask gumbel
+        ],
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, L)
+
+
+def quantize_head_weights(kernel, bias, tile_v: int = 2048):
+    """One-time prep for fused_absorbing_head_sample_int8: symmetric
+    absmax int8 per output channel (same scheme/rounding as
+    ops/quant.quantize_colwise), transposed to (Vp, D) and zero-padded
+    to a tile_v multiple. Loop-invariant — call outside the sampling
+    scan (XLA hoists it when traced inside)."""
+    from ddg_tpu.ops.quant import quantize_colwise
+    D, V = kernel.shape
+    q, scale = quantize_colwise(kernel)         # (D, V) s8, (V,) f32
+    Vp = ((V + tile_v - 1) // tile_v) * tile_v
+    w_q = jnp.pad(q.T, ((0, Vp - V), (0, 0)))
+    w_scale = jnp.pad(scale, (0, Vp - V))[:, None]
+    bias_col = jnp.pad(bias.astype(jnp.float32), (0, Vp - V))[:, None]
+    return w_q, w_scale, bias_col
+
+
+def quantize_head_inputs(feats):
+    """Per-token int8 head features for the int8 fused head kernel:
+    (B, L, D) fp32/bf16 -> ((B, D, L) int8, (B, 1, L) fp32 scales),
+    the quantize_rowwise scheme transposed to the kernel layout."""
+    from ddg_tpu.ops.quant import quantize_rowwise
+    q, scale = quantize_rowwise(feats)          # (B, L, D), (B, L, 1)
+    return jnp.swapaxes(q, 1, 2), jnp.swapaxes(scale, 1, 2)
 
 
 def pad_head_weights(kernel, bias, tile_v: int = 2048):

@@ -22,6 +22,7 @@ TPU-first re-design of the reference sampling stack
 from __future__ import annotations
 
 import dataclasses
+from collections.abc import Mapping
 from typing import Callable, Optional
 
 import jax
@@ -188,8 +189,23 @@ def _head_fused_sample(spec, dit_cfg, params, seed, xt, feats, mct,
     so the (B, L, V) logits never exist in HBM. The transpose/pad prep
     of the head weights is loop-invariant and hoisted out of the
     sampling lax.scan by XLA."""
-    from ddg_tpu.ops.fused_sampling import (fused_absorbing_head_sample,
-                                            pad_head_weights)
+    from ddg_tpu.ops.fused_sampling import (
+        fused_absorbing_head_sample, fused_absorbing_head_sample_int8,
+        pad_head_weights, quantize_head_inputs, quantize_head_weights)
+    if getattr(dit_cfg, 'quant_int8', False):
+        # int8-aware fused head (round-5): the s8 head matmul runs
+        # INSIDE the sampling kernel — same quantization scheme as the
+        # unfused int8 head (ops/quant.int8_dense), so this composes
+        # with the int8 trunk instead of displacing it (the bf16 fused
+        # head measured -24% under int8, DESIGN.md round-4 sweep).
+        w_q, w_scale, bias_col = quantize_head_weights(
+            params['output_linear']['kernel'],
+            params['output_linear']['bias'])
+        feats_q_t, x_scale = quantize_head_inputs(feats)
+        return fused_absorbing_head_sample_int8(
+            seed, xt, feats_q_t, x_scale, w_q, w_scale, bias_col,
+            mct[:, 0, 0], mcs[:, 0, 0], vocab_size=spec.vocab_size,
+            mask_index=spec.mask_index)
     dt = dit_cfg.logits_dtype
     w_t, bias_col = pad_head_weights(
         params['output_linear']['kernel'].astype(dt),
@@ -775,6 +791,10 @@ def ar_sample(spec: DiffusionSpec, sampler: SamplerSpec, model_apply,
                              bos_token_id=bos_token_id,
                              guidance=guidance, cond=cond,
                              decode_cfg=decode_cfg)
+    if sampler.ar_kv_int8:
+        import warnings
+        warnings.warn('ar_kv_int8=True ignored: the full-forward AR '
+                      'fallback path has no KV cache (round-4 ADVICE)')
     num_pred = length - 1
     noise_key, scan_key = jax.random.split(key)
     noise_shape = (batch_size, num_pred,
@@ -984,7 +1004,7 @@ def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
         def go(d, under_out):
             out = {}
             for k, v in d.items():
-                if isinstance(v, dict):
+                if isinstance(v, Mapping):
                     out[k] = go(v, under_out or k == 'output_linear')
                 elif (k in ('kernel', 'bias')
                       and v.dtype == jnp.float32):
@@ -996,8 +1016,11 @@ def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
 
     cdt = getattr(decode_cfg, 'compute_dtype', jnp.float32)
     ldt = getattr(decode_cfg, 'logits_dtype', cdt)
+    # Mapping (not dict) so flax FrozenDict param trees — common when
+    # the caller loaded an orbax/flax checkpoint — get the same HBM
+    # traffic optimization as plain dicts (round-4 ADVICE).
     if (supports_window and cdt != jnp.float32
-            and isinstance(params, dict)):
+            and isinstance(params, Mapping)):
         # DiT decode only: DiMamba decode runs its recurrence in fp32
         # and its layer norms key on 'bias', so precasting there would
         # change numerics (and its weights are a tiny fraction of the
@@ -1007,6 +1030,13 @@ def _ar_sample_kv(spec, sampler, params, key, *, batch_size, length,
     if supports_window and sampler.ar_kv_int8:
         cache0 = init_cache(decode_cfg, dec_B, kv_int8=True)
     else:
+        if sampler.ar_kv_int8:
+            # DiMamba decode carries O(1) conv/SSM state, not a KV
+            # cache — an int8 A/B here would silently benchmark the
+            # bf16 path (round-4 ADVICE).
+            import warnings
+            warnings.warn('ar_kv_int8=True has no effect: this decode '
+                          'backbone has no KV cache (DiT only)')
         cache0 = init_cache(decode_cfg, dec_B)
     x0 = jnp.zeros((batch_size, length), dtype=jnp.int32)
     x0 = x0.at[:, 0].set(bos_token_id)

@@ -1,0 +1,147 @@
+"""Megakernel convergence-parity drive (round 5, VERDICT r4 next #4).
+
+The mamba_inner megakernel (ops/mamba_block_pallas.py, default-on via
+DiMambaConfig.fused_block='auto') recomputes its backward per-chunk in
+bf16, with a measured worst grad leaf of 8.8e-3 rel vs the unfused
+path. This drive earns trust in the default: a REAL-SHAPE Species10
+train (hidden 256, 8 blocks, L=32768, B=2 — the reference
+scripts/train_ten_species_guidance.sh step) runs N steps twice —
+fused vs unfused — from identical init, RNG, and data stream, and the
+loss curves must stay within the run's own step-to-step noise.
+
+Pass criteria:
+  * no divergence: max |loss_f - loss_u| over the run < 5% of the
+    total loss drop (the curves tell the same training story);
+  * endpoint parity: |mean(last 10% of fused) - mean(last 10% of
+    unfused)| < 2x the pooled std of the last-10% losses.
+
+Writes both curves + verdict to JSON for the record.
+
+Usage (real chip):
+  PYTHONPATH=/root/repo:$PYTHONPATH python \
+      scripts/drive_megakernel_parity.py --steps 500 \
+      --out /tmp/megakernel_parity.json
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_one(fused: bool, steps: int, args):
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.models.dimamba import DiMamba, DiMambaConfig
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    from ddg_tpu.runtime.averaging import AveragingSpec
+    from ddg_tpu.runtime.optim import OptimSpec
+    from ddg_tpu.runtime.train_state import (init_train_state,
+                                             make_train_step)
+
+    cfg = DiMambaConfig(hidden_size=args.hidden, n_blocks=args.blocks,
+                        length=args.L, vocab_size=16, num_classes=10,
+                        fused_block=bool(fused))
+    B = args.B
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='subs',
+                         noise=LogLinearNoise(),
+                         vocab_size=cfg.vocab_size,
+                         mask_index=cfg.vocab_size - 1,
+                         num_classes=cfg.num_classes)
+    model = DiMamba(cfg)
+    apply_fn = make_model_apply(model)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.randint(rng, (1, cfg.length), 0,
+                            cfg.vocab_size - 1)
+    params = model.init(rng, x0, jnp.ones((1,)),
+                        jnp.zeros((1,), jnp.int32))['params']
+    optim = OptimSpec(lr=2e-3, num_warmup_steps=50)
+    avg = AveragingSpec.ema(0.9999)
+    # Same init rng for both runs -> identical TrainState.rng stream
+    # (loss-time corruption noise is shared step for step).
+    state = init_train_state(jax.random.PRNGKey(1), params, optim, avg)
+    step = jax.jit(make_train_step(spec, apply_fn, optim, avg),
+                   donate_argnums=(0,))
+
+    # Deterministic synthetic data stream: 16 fixed batches cycled.
+    data_rng = jax.random.PRNGKey(42)
+    batches = []
+    for i in range(16):
+        data_rng, k1, k2 = jax.random.split(data_rng, 3)
+        batches.append({
+            'input_ids': jax.random.randint(
+                k1, (B, cfg.length), 0, cfg.vocab_size - 1),
+            'attention_mask': jnp.ones((B, cfg.length), jnp.float32),
+            'cond': jax.random.randint(k2, (B,), 0, cfg.num_classes),
+        })
+
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        state, m = step(state, batches[i % 16])
+        losses.append(m['loss'])
+        if i == 0:
+            float(jnp.sum(m['loss']))      # sync: compile done
+            t0 = time.time()
+    curve = np.asarray(jax.device_get(jnp.stack(losses)), np.float64)
+    dt = (time.time() - t0) / max(1, steps - 1)
+    print(f'fused={fused}: {steps} steps, {dt * 1e3:.1f} ms/step, '
+          f'loss {curve[0]:.4f} -> {curve[-1]:.4f}', flush=True)
+    return curve, dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=500)
+    p.add_argument('--B', type=int, default=2)
+    p.add_argument('--L', type=int, default=32768)
+    p.add_argument('--hidden', type=int, default=256)
+    p.add_argument('--blocks', type=int, default=8)
+    p.add_argument('--out', default='/tmp/megakernel_parity.json')
+    args = p.parse_args()
+
+    print('devices:', jax.devices(), flush=True)
+    curve_f, dt_f = run_one(True, args.steps, args)
+    curve_u, dt_u = run_one(False, args.steps, args)
+
+    diff = np.abs(curve_f - curve_u)
+    drop = max(curve_u[0] - curve_u.min(), 1e-9)
+    tail = max(args.steps // 10, 5)
+    tf, tu = curve_f[-tail:], curve_u[-tail:]
+    pooled_std = float(np.sqrt(0.5 * (tf.std() ** 2 + tu.std() ** 2)))
+    end_gap = float(abs(tf.mean() - tu.mean()))
+    max_rel = float(diff.max() / drop)
+    ok_div = max_rel < 0.05
+    ok_end = end_gap < 2.0 * max(pooled_std, 1e-9)
+    report = {
+        'steps': args.steps,
+        'ms_per_step': {'fused': dt_f * 1e3, 'unfused': dt_u * 1e3},
+        'loss_first': {'fused': curve_f[0], 'unfused': curve_u[0]},
+        'loss_last': {'fused': curve_f[-1], 'unfused': curve_u[-1]},
+        'max_abs_diff': float(diff.max()),
+        'max_diff_over_drop': max_rel,
+        'endpoint_gap': end_gap,
+        'tail_pooled_std': pooled_std,
+        'pass_no_divergence': bool(ok_div),
+        'pass_endpoint': bool(ok_end),
+        'curve_fused': curve_f.tolist(),
+        'curve_unfused': curve_u.tolist(),
+    }
+    with open(args.out, 'w') as f:
+        json.dump(report, f)
+    print(json.dumps({k: v for k, v in report.items()
+                      if not k.startswith('curve')}, indent=1))
+    if ok_div and ok_end:
+        print('MEGAKERNEL CONVERGENCE PARITY PASSED')
+    else:
+        print('MEGAKERNEL CONVERGENCE PARITY FAILED')
+        raise SystemExit(1)
+
+
+if __name__ == '__main__':
+    main()

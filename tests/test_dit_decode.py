@@ -71,6 +71,94 @@ def test_decode_int8_kv_close_to_fp():
             f'pos {pos}: abs err {err} vs logit scale {span}'
 
 
+def _precast_like_sampler(cfg, params):
+    """Mirror samplers._ar_sample_kv's _precast (dense kernels/biases
+    -> compute dtype, output head -> logits dtype)."""
+    cdt = cfg.compute_dtype
+    ldt = getattr(cfg, 'logits_dtype', cdt)
+
+    def go(d, under_out):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = go(v, under_out or k == 'output_linear')
+            elif k in ('kernel', 'bias') and v.dtype == jnp.float32:
+                out[k] = v.astype(ldt if under_out else cdt)
+            else:
+                out[k] = v
+        return out
+    return go(params, False)
+
+
+def test_decode_bf16_precast_numerically_identical():
+    """The hoisted weight precast (samplers.py _precast, active when
+    compute_dtype != fp32) must be a pure HBM-traffic optimization:
+    decode_step casts fp32 weights to the activation dtype in-loop, so
+    pre-cast params are the SAME rounding and the logits must be
+    bit-identical (round-4 ADVICE: the bf16 branch had no coverage)."""
+    cfg = dataclasses.replace(CFG, compute_dtype=jnp.bfloat16)
+    model, params, x = _setup(cfg)
+    pc = _precast_like_sampler(cfg, params)
+    cache_a = init_cache(cfg, 2)
+    cache_b = init_cache(cfg, 2)
+    for pos in range(cfg.length):
+        la, cache_a = decode_step(cfg, params, cache_a, x[:, pos],
+                                  jnp.asarray(pos))
+        lb, cache_b = decode_step(cfg, pc, cache_b, x[:, pos],
+                                  jnp.asarray(pos))
+        np.testing.assert_array_equal(np.asarray(la, np.float32),
+                                      np.asarray(lb, np.float32))
+
+
+def test_decode_bf16_frozen_dict_params_token_identical():
+    """ar_sample must produce the same tokens whether params arrive as
+    a plain dict or a flax FrozenDict (the Mapping-gated precast,
+    round-4 ADVICE: FrozenDict trees silently bypassed it)."""
+    import flax
+    from ddg_tpu.diffusion import DiffusionSpec
+    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.ops.noise_schedules import LogLinearNoise
+    from ddg_tpu.samplers import SamplerSpec, ar_sample
+
+    cfg = dataclasses.replace(CFG, compute_dtype=jnp.bfloat16)
+    model, params, x = _setup(cfg)
+    apply_fn = make_model_apply(model)
+    spec = DiffusionSpec(diffusion='absorbing_state',
+                         parameterization='ar', noise=LogLinearNoise(),
+                         vocab_size=cfg.vocab_size,
+                         mask_index=cfg.vocab_size - 1)
+    sampler = SamplerSpec(steps=4)
+
+    def run(p):
+        return ar_sample(spec, sampler, apply_fn, p, KEY,
+                         batch_size=2, length=cfg.length,
+                         bos_token_id=0, decode_cfg=cfg)
+
+    np.testing.assert_array_equal(
+        np.asarray(run(params)),
+        np.asarray(run(flax.core.freeze(params))))
+
+
+def test_decode_int8_kv_bf16_compute():
+    """int8 KV bound under the bf16 compute path the AR bench actually
+    runs (round-4 ADVICE): bf16 activations add their own ~0.4%
+    rounding on top of the int8 cache error, so the bound is looser
+    than the fp32 test's 2%."""
+    cfg = dataclasses.replace(CFG, compute_dtype=jnp.bfloat16)
+    model, params, x = _setup(cfg)
+    full = model.apply({'params': params}, x, None)
+    cache = init_cache(cfg, 2, kv_int8=True)
+    assert cache['k'].dtype == jnp.int8
+    for pos in range(cfg.length):
+        logits, cache = decode_step(cfg, params, cache, x[:, pos],
+                                    jnp.asarray(pos))
+        ref = np.asarray(full[:, pos], np.float32)
+        err = np.abs(np.asarray(logits, np.float32) - ref).max()
+        span = np.abs(ref).max()
+        assert err < 0.05 * span, \
+            f'pos {pos}: abs err {err} vs logit scale {span}'
+
+
 def test_decode_in_scan():
     """decode_step composes with lax.scan (static shapes)."""
     model, params, x = _setup()

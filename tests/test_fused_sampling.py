@@ -218,6 +218,41 @@ class TestHeadFused:
         np.testing.assert_array_equal(np.asarray(out),
                                       np.asarray(expect))
 
+    def test_int8_variant_matches_int8_dense_chain(self):
+        """fused_absorbing_head_sample_int8 must be the exact fused
+        form of int8_dense (same quantization scheme + multiply
+        order) + the unfused sampling chain: token-identical under a
+        shared external Gumbel field."""
+        from ddg_tpu.ops.fused_sampling import (
+            fused_absorbing_head_sample_int8, quantize_head_inputs,
+            quantize_head_weights)
+        from ddg_tpu.ops.quant import int8_dense
+        (feats, kernel, bias, xt, mct, mcs,
+         _, _) = self._head_setup(seed=9, tile_v=128)
+        w_q, w_scale, bias_col = quantize_head_weights(kernel, bias,
+                                                       tile_v=128)
+        feats_q_t, x_scale = quantize_head_inputs(feats)
+        assert w_q.dtype == jnp.int8 and feats_q_t.dtype == jnp.int8
+        Vp = w_q.shape[0]
+        g_full = jax.random.gumbel(jax.random.PRNGKey(21), (B, L, V),
+                                   jnp.float32)
+        g_t = jnp.pad(jnp.swapaxes(g_full, 1, 2),
+                      ((0, 0), (0, Vp - V), (0, 0)))
+        out = fused_absorbing_head_sample_int8(
+            5, xt, feats_q_t, x_scale, w_q, w_scale, bias_col, mct,
+            mcs, vocab_size=V, mask_index=MASK, tile_v=128, tile_l=8,
+            interpret=True, gumbel_t=g_t)
+        logits = int8_dense(feats, kernel, bias)
+        expect = _expected(_subs_log_q(logits, mct, mcs), g_full, xt)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(expect))
+        # And it must stay CLOSE to the exact fp32 head (quantization
+        # noise only): token agreement well above chance.
+        logits_fp = feats @ kernel + bias
+        exact = _expected(_subs_log_q(logits_fp, mct, mcs), g_full, xt)
+        agree = float((np.asarray(out) == np.asarray(exact)).mean())
+        assert agree > 0.9, f'int8 head token agreement {agree}'
+
     def test_sampler_head_fused_path_cpu_fallback(self):
         # On CPU _fused_ok is False: sampling.fused_head must not
         # change behavior (falls back to the jnp chain) — the flag is
