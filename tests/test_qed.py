@@ -151,6 +151,57 @@ def test_aromatic_rings_and_alerts():
     assert structural_alerts(perceive('CCOOC')) >= 1      # peroxide
 
 
+def test_alert_table_chemotypes():
+    """The round-5 expanded alert table: every pattern compiles in the
+    in-tree engine, alert-free drugs stay clean, and each major
+    chemotype family fires on its textbook example."""
+    from ddg_tpu.guidance_eval.qed import _alert_patterns
+    pats = _alert_patterns()
+    assert len(pats) >= 85
+    for p in pats:
+        compile_smarts(p)          # raises on unsupported primitives
+    # Clean drugs: no alerts (matches RDKit QED's ALERTS=0 for these).
+    for s in (ASPIRIN, CAFFEINE, PARACETAMOL, 'CCO', 'CC(=O)NC'):
+        assert structural_alerts(perceive(s)) == 0, s
+    # One per chemotype family.
+    flagged = {
+        'C1CN1C': 'aziridine', 'CC(=O)Cl': 'acyl halide',
+        'CCS(=O)(=O)OCC': 'sulfonate ester', 'CC=O': 'aldehyde',
+        'CCOOC': 'peroxide', 'CCSSCC': 'disulfide',
+        'CNNC': 'hydrazine', 'CC(=O)C(C)=O': 'diketone',
+        'CC=NC': 'acyclic imine', 'CCN=[N+]=[N-]': 'azide',
+        'CN=C=O': 'isocyanate', 'C=C': 'isolated alkene',
+        'C#C': 'alkyne', 'CC(=O)OC(C)=O': 'anhydride',
+        'CS': 'thiol', 'C[N+](=O)[O-]': 'nitro',
+        'Nc1ccccc1': 'aniline', 'Oc1ccccc1O': 'catechol',
+        'c1ccc2cc3ccccc3cc2c1': 'anthracene',
+        'O=C1C=CC(=O)N1': 'maleimide', 'CC(O)(O)C': 'gem-diol',
+        'C[Si](C)(C)C': 'exotic atom', 'CCI': 'alkyl iodide',
+        'O=C1C=CC(=O)C=C1': 'quinone', 'CC(=S)C': 'thiocarbonyl',
+        'ON': 'hydroxylamine', 'CC=NO': 'oxime',
+    }
+    for s, name in flagged.items():
+        m = perceive(s)
+        assert m is not None, s
+        assert structural_alerts(m) >= 1, f'{name} ({s}) not flagged'
+
+
+def test_alert_table_asset_override(tmp_path, monkeypatch):
+    """assets/qed_alerts.smarts (via $DDG_QED_ALERTS) replaces the
+    reconstruction verbatim — the on-ramp for the published table."""
+    import ddg_tpu.guidance_eval.qed as qed_mod
+    p = tmp_path / 'alerts.smarts'
+    p.write_text('# comment line\n[CX4][Cl,Br,I]  # alkyl halide\n')
+    monkeypatch.setenv('DDG_QED_ALERTS', str(p))
+    monkeypatch.setattr(qed_mod, '_alerts_cache', None)
+    try:
+        assert qed_mod._alert_patterns() == ['[CX4][Cl,Br,I]']
+        assert structural_alerts(perceive('CCCl')) == 1
+        assert structural_alerts(perceive('CC=O')) == 0  # not in file
+    finally:
+        monkeypatch.setattr(qed_mod, '_alerts_cache', None)
+
+
 def test_ads_shape():
     # desirability is in (0, 1] and peaks near the fitted optimum
     for key, peak in [('MW', 300.0), ('ALOGP', 2.5), ('PSA', 70.0)]:
