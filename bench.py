@@ -218,7 +218,7 @@ def bench_sampling(args, first_hitting):
         sps / A100_BASELINE_SAMPLES_PER_SEC, _mfu(flops, dt))
 
 
-def _qm9_cbg_setup(quick, *, approx=False):
+def _qm9_cbg_setup(quick, *, approx=False, int8=False):
     """QM9 eval-protocol shapes (reference scripts/eval_qm9_guidance.sh
     + guidance_eval/qm9_eval.py:88-204): DiT-small denoiser (model=small,
     model.length=32) over the QM9 SMILES vocab (35 + mask), tiny DIT
@@ -241,6 +241,13 @@ def _qm9_cbg_setup(quick, *, approx=False):
                         vocab_size=36)
         clf_cfg = dataclasses.replace(cfg, hidden_size=512, n_blocks=8,
                                       n_heads=8)
+    if int8:
+        # CBG-EXACT is pure forward scoring (no classifier gradients,
+        # unlike approx/NOS/PPLM), so the int8 dynamic-quant trunk is
+        # legitimate on both the denoiser and the edit classifier.
+        assert not approx, 'int8 kills the approx-mode gradients'
+        cfg = dataclasses.replace(cfg, quant_int8=True)
+        clf_cfg = dataclasses.replace(clf_cfg, quant_int8=True)
     spec = DiffusionSpec(diffusion='absorbing_state',
                          parameterization='subs', noise=LogLinearNoise(),
                          vocab_size=cfg.vocab_size,
@@ -271,17 +278,19 @@ def bench_cbg(args, approx=False):
     from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
                                   diffusion_sample)
 
+    q8 = bool(getattr(args, 'int8', False)) and not approx
     (spec, cfg, clf_cfg, apply_fn, params, clf_apply,
-     clf_params) = _qm9_cbg_setup(args.quick, approx=approx)
+     clf_params) = _qm9_cbg_setup(args.quick, approx=approx, int8=q8)
     B = args.batch or 16
     steps = 32 if args.steps == 1000 else args.steps
     if args.quick:
         B, steps = 2, 4
     L, V = cfg.length, cfg.vocab_size
-    # cbg_chunk: edits per lax.map chunk. 0 -> one chunk of all L*V
-    # edits (no padding waste; the classifier forward is one
-    # (B*L*V, L) batch per step).
-    chunk = getattr(args, 'cbg_chunk', None) or L * V
+    # cbg_chunk: edits per lax.map chunk. On-chip sweep (round 5,
+    # scripts/bench_cbg_phases.py): 128 > 384 > 1152 (0.906 / 0.801 /
+    # 0.783 samples/s) — the 2048-row classifier batches of chunk=128
+    # run at the best MFU, so small chunks are the default.
+    chunk = getattr(args, 'cbg_chunk', None) or 128
     sampler = SamplerSpec(steps=steps, use_cache=False, fused=False)
     guidance = GuidanceSpec(method='cbg', gamma=2.0, condition=1,
                             use_approx=approx, cbg_chunk=chunk)
@@ -313,6 +322,8 @@ def bench_cbg(args, approx=False):
     sps = B / dt / jax.device_count()
     baseline = A100_EFFECTIVE_FLOPS / (flops / B)
     mode = 'approx' if approx else f'exact, chunk={chunk}'
+    if q8:
+        mode += ', int8'
     return _emit(
         f'QM9 D-CBG samples/sec/chip ({mode}, T={steps}, B={B}, '
         + ('tiny' if args.quick else
@@ -628,16 +639,21 @@ def bench_unet(args):
     # --int8 A/Bs the s8 conv trunk (ops/quant.int8_conv).
     cd = jnp.float32 if getattr(args, 'fp32', False) else jnp.bfloat16
     q8 = bool(getattr(args, 'int8', False))
+    # --norm-bf16: GroupNorm outputs in bf16 (halves the ~20 fp32
+    # norm streams of the BW-bound forward; round-5 floor probe).
+    nd = jnp.bfloat16 if getattr(args, 'norm_bf16', False) \
+        else jnp.float32
     if args.quick:
         cfg = UNetConfig(ch=16, num_res_blocks=1, num_scales=2,
                          ch_mult=(1, 1), image_size=8, num_classes=10,
-                         dropout=0.0, compute_dtype=cd, quant_int8=q8)
+                         dropout=0.0, compute_dtype=cd, quant_int8=q8,
+                         norm_dtype=nd)
         B, steps = 2, 4
     else:
         cfg = UNetConfig(ch=128, num_res_blocks=2, num_scales=4,
                          ch_mult=(1, 2, 2, 2), image_size=32,
                          num_classes=10, dropout=0.0, compute_dtype=cd,
-                         quant_int8=q8)
+                         quant_int8=q8, norm_dtype=nd)
         # B=32 measured best on v5e (35.5 vs 34.1 at 16 / 34.1 at 64)
         B, steps = args.batch or 32, args.steps if args.steps != 1000 \
             else 128
@@ -694,7 +710,9 @@ def bench_unet(args):
         f'CIFAR10 UNet D-CFG samples/sec/chip (uniform, T={steps}, '
         f'B={B}, fused={"on" if sampler.fused else "off"}'
         + (', fp32' if getattr(args, 'fp32', False) else '')
-        + (', int8' if q8 else '') + ')',
+        + (', int8' if q8 else '')
+        + (', norm-bf16' if getattr(args, 'norm_bf16', False) else '')
+        + ')',
         sps, 'samples/sec/chip',
         sps / baseline if baseline else None, _mfu(flops, dt))
 
@@ -774,6 +792,10 @@ def main():
     p.add_argument('--xla-scan', dest='xla_scan', action='store_true',
                    help='--dimamba with the XLA associative scan '
                         '(+block remat) instead of the Pallas kernel')
+    p.add_argument('--norm-bf16', dest='norm_bf16',
+                   action='store_true',
+                   help='--unet with bf16 GroupNorm outputs (A/B vs '
+                        'the fp32-norm default)')
     p.add_argument('--cbg-chunk', dest='cbg_chunk', type=int,
                    default=None,
                    help='--cbg: edits per classifier chunk '

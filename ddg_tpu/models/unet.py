@@ -71,6 +71,13 @@ class UNetConfig:
     # inference-only (train raises). Default OFF; the UNet "XLA
     # floor" probe of VERDICT r3 weak #3.
     quant_int8: bool = False
+    # Output dtype of the GroupNorms (stats are always computed in
+    # fp32 by flax). The default fp32 makes every GN emit a
+    # double-width stream into a bf16/int8 trunk — on the BW-bound
+    # CIFAR forward that is ~20 extra fp32 activation writes. bf16
+    # halves those bytes; opt-in (round-5 UNet floor probe,
+    # VERDICT r4 next #2).
+    norm_dtype: jnp.dtype = jnp.float32
 
     @property
     def time_embed_dim(self) -> int:
@@ -120,12 +127,13 @@ class AttnBlock(nn.Module):
     skip_rescale: bool = True
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
-                         dtype=jnp.float32, name='norm')(x)
+                         dtype=self.norm_dtype, name='norm')(x)
         q = NiN(C, dtype=self.dtype, quant=self.quant, name='q')(h)
         k = NiN(C, dtype=self.dtype, quant=self.quant, name='k')(h)
         v = NiN(C, dtype=self.dtype, quant=self.quant, name='v')(h)
@@ -151,13 +159,14 @@ class ResBlock(nn.Module):
     skip_rescale: bool = True
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, *, train: bool):
         Conv = _conv_cls(self.quant)
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                         dtype=jnp.float32, name='norm0')(x)
+                         dtype=self.norm_dtype, name='norm0')(x)
         h = nn.silu(h)
         h = Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                  name='conv0')(h)
@@ -166,7 +175,7 @@ class ResBlock(nn.Module):
                              dtype=self.dtype, name='temb_proj')(
                 nn.silu(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=min(self.out_ch // 4, 32),
-                         epsilon=1e-6, dtype=jnp.float32,
+                         epsilon=1e-6, dtype=self.norm_dtype,
                          name='norm1')(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -246,6 +255,7 @@ class UNet(nn.Module):
         cfg = self.cfg
         cd = cfg.compute_dtype
         qt = cfg.quant_int8
+        nd = cfg.norm_dtype
         if qt and train:
             raise ValueError(
                 'quant_int8 is an inference-only transform (jnp.round '
@@ -284,11 +294,11 @@ class UNet(nn.Module):
         for scale in range(cfg.num_scales):
             for res in range(cfg.num_res_blocks):
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
-                             cfg.skip_rescale, dtype=cd, quant=qt,
+                             cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
                              name=f'down_{scale}_{res}')(h, temb,
                                                          train=train)
                 if scale == cfg.scale_count_to_put_attn:
-                    h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt,
+                    h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
                                   name=f'down_attn_{scale}_{res}')(h)
                 hs.append(h)
             if scale != cfg.num_scales - 1:
@@ -298,12 +308,13 @@ class UNet(nn.Module):
 
         # Middle
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     dtype=cd, quant=qt, name='mid_res0')(
+                     dtype=cd, quant=qt, norm_dtype=nd,
+                     name='mid_res0')(
                          h, temb, train=train)
-        h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt,
+        h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
                       name='mid_attn')(h)
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     dtype=cd, quant=qt, name='mid_res1')(
+                     dtype=cd, quant=qt, norm_dtype=nd, name='mid_res1')(
                          h, temb, train=train)
 
         # Upsampling
@@ -312,11 +323,11 @@ class UNet(nn.Module):
                 h = jnp.concatenate(
                     [h, hs.pop().astype(h.dtype)], axis=-1)
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
-                             cfg.skip_rescale, dtype=cd, quant=qt,
+                             cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
                              name=f'up_{scale}_{res}')(h, temb,
                                                        train=train)
                 if scale == cfg.scale_count_to_put_attn:
-                    h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt,
+                    h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
                                   name=f'up_attn_{scale}_{res}')(h)
             if scale != 0:
                 h = Upsample(dtype=cd, quant=qt,

@@ -150,6 +150,23 @@ def main():
               s, xt, feats_t, w_t, bias_col, mct, mcs, vocab_size=V,
               mask_index=MASK, tile_v=128), q_head)
 
+    # int8 head-fused kernel (round 5): s8 matmul in-kernel; the
+    # analytic target uses the SAME quantized logits (int8_dense), so
+    # a pass isolates the kernel's sampling path — the int8-vs-fp32
+    # distribution shift itself is validated by validate_quant_tpu.py.
+    from ddg_tpu.ops.fused_sampling import (
+        fused_absorbing_head_sample_int8, quantize_head_inputs,
+        quantize_head_weights)
+    from ddg_tpu.ops.quant import int8_dense
+    w_q, w_scale, bias_q = quantize_head_weights(Wk, bias, tile_v=128)
+    feats_q_t, x_scale = quantize_head_inputs(feats)
+    q_head_q = _analytic_q(int8_dense(feats, Wk, bias), mct, mcs)
+    check('absorbing head-fused (int8)',
+          lambda s: fused_absorbing_head_sample_int8(
+              s, xt, feats_q_t, x_scale, w_q, w_scale, bias_q, mct,
+              mcs, vocab_size=V, mask_index=MASK, tile_v=128),
+          q_head_q)
+
     print('ALL PASS' if ok else 'FAILURES')
     sys.exit(0 if ok else 1)
 
