@@ -395,11 +395,13 @@ def is_valid_smiles(s: str) -> bool:
 # Aromaticity perception (simplified Hückel, RDKit-default-like)
 # ---------------------------------------------------------------------------
 
-def _find_rings(mol: Mol, max_len: int = 10,
+def _find_rings(mol: Mol, max_len: int = 18,
                 max_paths: int = 20000) -> List[List[int]]:
     """All simple cycles up to max_len atoms (deduplicated by their
-    frozen atom set). Molecules here are small (QM9 <= 9 heavy atoms,
-    ZINC ~40); the path budget guards pathological fused systems —
+    frozen atom set; 18 covers macrocycles like crown ethers for the
+    ring-restricted structural alerts). Molecules here are small
+    (QM9 <= 9 heavy atoms, ZINC ~40); the path budget guards
+    pathological fused systems —
     on overflow we return what we found (perception then errs
     lenient)."""
     n = len(mol.atoms)
