@@ -643,17 +643,24 @@ def bench_unet(args):
     # norm streams of the BW-bound forward; round-5 floor probe).
     nd = jnp.bfloat16 if getattr(args, 'norm_bf16', False) \
         else jnp.float32
+    # --fused-norm: one-pass GroupNorm+SiLU Pallas kernel (stats +
+    # apply in a single HBM read; round-5 Pallas probe on the
+    # BW-bound trunk, VERDICT r4 next #2). Interpret mode on CPU.
+    fnorm = bool(getattr(args, 'fused_norm', False))
+    pinterp = fnorm and jax.default_backend() == 'cpu'
     if args.quick:
         cfg = UNetConfig(ch=16, num_res_blocks=1, num_scales=2,
                          ch_mult=(1, 1), image_size=8, num_classes=10,
                          dropout=0.0, compute_dtype=cd, quant_int8=q8,
-                         norm_dtype=nd)
+                         norm_dtype=nd, fused_norm=fnorm,
+                         pallas_interpret=pinterp)
         B, steps = 2, 4
     else:
         cfg = UNetConfig(ch=128, num_res_blocks=2, num_scales=4,
                          ch_mult=(1, 2, 2, 2), image_size=32,
                          num_classes=10, dropout=0.0, compute_dtype=cd,
-                         quant_int8=q8, norm_dtype=nd)
+                         quant_int8=q8, norm_dtype=nd,
+                         fused_norm=fnorm, pallas_interpret=pinterp)
         # B=32 measured best on v5e (35.5 vs 34.1 at 16 / 34.1 at 64)
         B, steps = args.batch or 32, args.steps if args.steps != 1000 \
             else 128
@@ -712,7 +719,7 @@ def bench_unet(args):
         + (', fp32' if getattr(args, 'fp32', False) else '')
         + (', int8' if q8 else '')
         + (', norm-bf16' if getattr(args, 'norm_bf16', False) else '')
-        + ')',
+        + (', fused-norm' if fnorm else '') + ')',
         sps, 'samples/sec/chip',
         sps / baseline if baseline else None, _mfu(flops, dt))
 
@@ -796,6 +803,10 @@ def main():
                    action='store_true',
                    help='--unet with bf16 GroupNorm outputs (A/B vs '
                         'the fp32-norm default)')
+    p.add_argument('--fused-norm', dest='fused_norm',
+                   action='store_true',
+                   help='--unet with the one-pass fused GroupNorm+'
+                        'SiLU Pallas kernel')
     p.add_argument('--cbg-chunk', dest='cbg_chunk', type=int,
                    default=None,
                    help='--cbg: edits per classifier chunk '

@@ -78,6 +78,14 @@ class UNetConfig:
     # halves those bytes; opt-in (round-5 UNet floor probe,
     # VERDICT r4 next #2).
     norm_dtype: jnp.dtype = jnp.float32
+    # One-pass fused GroupNorm(+SiLU) Pallas kernel for the trunk
+    # norms (ops/groupnorm_pallas): stats + normalize + silu in a
+    # single HBM pass instead of XLA's reduce-then-apply two passes.
+    # Inference-only (training keeps the flax path + autodiff).
+    # Default OFF pending the on-chip A/B (VERDICT r4 next #2).
+    fused_norm: bool = False
+    # Run Pallas kernels in interpret mode (CPU tests).
+    pallas_interpret: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -118,6 +126,38 @@ class NiN(nn.Module):
         return x @ w + b
 
 
+class GNorm(nn.Module):
+    """GroupNorm with nn.GroupNorm's exact param tree ('scale',
+    'bias') and numerics, optionally running the one-pass fused
+    GroupNorm(+SiLU) Pallas kernel (ops/groupnorm_pallas) instead of
+    XLA's reduce-then-apply two HBM passes. `act=True` folds the
+    SiLU that follows every ResBlock norm into the same pass."""
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    act: bool = False
+    fused: bool = False
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+        if self.fused:
+            from ddg_tpu.ops.groupnorm_pallas import \
+                fused_group_norm_act
+            return fused_group_norm_act(
+                x, scale, bias, num_groups=self.num_groups,
+                eps=self.epsilon, act=self.act,
+                out_dtype=self.dtype, interpret=self.interpret)
+        y = nn.GroupNorm(num_groups=self.num_groups,
+                         epsilon=self.epsilon, dtype=self.dtype
+                         ).apply({'params': {'scale': scale,
+                                             'bias': bias}}, x)
+        return nn.silu(y) if self.act else y
+
+
 class AttnBlock(nn.Module):
     """Spatial self-attention over H*W (reference unet.py:88-119).
 
@@ -128,12 +168,15 @@ class AttnBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
     norm_dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
-                         dtype=self.norm_dtype, name='norm')(x)
+        h = GNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
+                  dtype=self.norm_dtype, fused=self.fused_norm,
+                  interpret=self.interpret, name='norm')(x)
         q = NiN(C, dtype=self.dtype, quant=self.quant, name='q')(h)
         k = NiN(C, dtype=self.dtype, quant=self.quant, name='k')(h)
         v = NiN(C, dtype=self.dtype, quant=self.quant, name='v')(h)
@@ -160,24 +203,27 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
     norm_dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x, temb, *, train: bool):
         Conv = _conv_cls(self.quant)
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                         dtype=self.norm_dtype, name='norm0')(x)
-        h = nn.silu(h)
+        h = GNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                  dtype=self.norm_dtype, act=True,
+                  fused=self.fused_norm, interpret=self.interpret,
+                  name='norm0')(x)
         h = Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                  name='conv0')(h)
         if temb is not None:
             h = h + nn.Dense(self.out_ch, bias_init=nn.initializers.zeros,
                              dtype=self.dtype, name='temb_proj')(
                 nn.silu(temb))[:, None, None, :]
-        h = nn.GroupNorm(num_groups=min(self.out_ch // 4, 32),
-                         epsilon=1e-6, dtype=self.norm_dtype,
-                         name='norm1')(h)
-        h = nn.silu(h)
+        h = GNorm(num_groups=min(self.out_ch // 4, 32), epsilon=1e-6,
+                  dtype=self.norm_dtype, act=True,
+                  fused=self.fused_norm, interpret=self.interpret,
+                  name='norm1')(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                  name='conv1')(h)
@@ -256,6 +302,9 @@ class UNet(nn.Module):
         cd = cfg.compute_dtype
         qt = cfg.quant_int8
         nd = cfg.norm_dtype
+        # fused GN is inference-only (no VJP); train uses flax GN
+        fn = cfg.fused_norm and not train
+        pi = cfg.pallas_interpret
         if qt and train:
             raise ValueError(
                 'quant_int8 is an inference-only transform (jnp.round '
@@ -295,10 +344,12 @@ class UNet(nn.Module):
             for res in range(cfg.num_res_blocks):
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
                              cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi,
                              name=f'down_{scale}_{res}')(h, temb,
                                                          train=train)
                 if scale == cfg.scale_count_to_put_attn:
                     h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi,
                                   name=f'down_attn_{scale}_{res}')(h)
                 hs.append(h)
             if scale != cfg.num_scales - 1:
@@ -309,12 +360,15 @@ class UNet(nn.Module):
         # Middle
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
                      dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi,
                      name='mid_res0')(
                          h, temb, train=train)
         h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi,
                       name='mid_attn')(h)
         h = ResBlock(h.shape[-1], cfg.dropout, cfg.skip_rescale,
-                     dtype=cd, quant=qt, norm_dtype=nd, name='mid_res1')(
+                     dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi, name='mid_res1')(
                          h, temb, train=train)
 
         # Upsampling
@@ -324,20 +378,21 @@ class UNet(nn.Module):
                     [h, hs.pop().astype(h.dtype)], axis=-1)
                 h = ResBlock(cfg.ch * cfg.ch_mult[scale], cfg.dropout,
                              cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi,
                              name=f'up_{scale}_{res}')(h, temb,
                                                        train=train)
                 if scale == cfg.scale_count_to_put_attn:
                     h = AttnBlock(cfg.skip_rescale, dtype=cd, quant=qt, norm_dtype=nd,
+                             fused_norm=fn, interpret=pi,
                                   name=f'up_attn_{scale}_{res}')(h)
             if scale != 0:
                 h = Upsample(dtype=cd, quant=qt,
                              name=f'upsample_{scale}')(h)
         assert not hs
 
-        h = nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
-                         epsilon=1e-6, dtype=jnp.float32,
-                         name='norm_out')(h)
-        h = nn.silu(h)
+        h = GNorm(num_groups=min(h.shape[-1] // 4, 32),
+                  epsilon=1e-6, dtype=jnp.float32, act=True,
+                  fused=fn, interpret=pi, name='norm_out')(h)
         # head conv in fp32 (feeds the logistic head directly)
         h = nn.Conv(2 * C, (3, 3), padding=1, name='conv_out')(h)
 

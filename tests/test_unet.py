@@ -132,3 +132,43 @@ def test_int8_quant_close_to_fp32_and_train_raises():
     with pytest.raises(ValueError, match='inference-only'):
         qmodel.apply({'params': params}, x, sigma, train=True,
                      rngs={'dropout': KEY})
+
+
+def test_fused_groupnorm_kernel_matches_flax():
+    """fused_group_norm_act (interpret) == nn.GroupNorm + silu at
+    fp32, across non-divisible-by-32 channel counts."""
+    import flax.linen as nn
+    from ddg_tpu.ops.groupnorm_pallas import fused_group_norm_act
+    for C, g in ((16, 4), (32, 8), (128, 32)):
+        x = jax.random.normal(jax.random.PRNGKey(C), (2, 8, 8, C))
+        scale = jax.random.normal(jax.random.PRNGKey(C + 1), (C,)) * .1 + 1
+        bias = jax.random.normal(jax.random.PRNGKey(C + 2), (C,)) * .1
+        ref = nn.GroupNorm(num_groups=g, epsilon=1e-6).apply(
+            {'params': {'scale': scale, 'bias': bias}}, x)
+        ref = nn.silu(ref)
+        got = fused_group_norm_act(x, scale, bias, num_groups=g,
+                                   eps=1e-6, act=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_fused_norm_model_parity_and_param_tree():
+    """fused_norm=True (GNorm Pallas path, interpret) matches the
+    default model closely and keeps the identical param tree
+    (GNorm declares nn.GroupNorm's exact 'scale'/'bias' params)."""
+    model, params, x, sigma = _init()
+    fcfg = dataclasses.replace(CFG, fused_norm=True,
+                               pallas_interpret=True)
+    fmodel = UNet(fcfg)
+    pf = fmodel.init(KEY, x, sigma)['params']
+    assert jax.tree.structure(pf) == jax.tree.structure(params)
+    ref = model.apply({'params': params}, x, sigma)
+    got = fmodel.apply({'params': params}, x, sigma)
+    p_ref = np.exp(np.asarray(jax.nn.log_softmax(ref, -1)))
+    p_g = np.exp(np.asarray(jax.nn.log_softmax(got, -1)))
+    tv = 0.5 * np.abs(p_ref - p_g).sum(-1)
+    assert tv.mean() < 1e-3, tv.mean()
+    # training ignores the flag (flax path, autodiff intact)
+    loss = fmodel.apply({'params': params}, x, sigma, train=True,
+                        rngs={'dropout': KEY})
+    assert jnp.isfinite(loss).all()
