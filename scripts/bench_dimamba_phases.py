@@ -114,6 +114,54 @@ def main():
           f'{t_fwd*per_dir_blocks*1e3:.0f} / '
           f'{t_fb*per_dir_blocks*1e3:.0f} ms)', flush=True)
 
+    # --- fused mamba_inner megakernel alone (post-round-4
+    # attribution, VERDICT r4 weak #4: where do the 0.187 s go
+    # now that the whole direction-block is one kernel?) ---
+    from ddg_tpu.ops.mamba_block_pallas import mamba_inner_pallas
+    H = args.hidden
+    dt_rank = max(1, H // 16)
+    kf = jax.random.split(jax.random.PRNGKey(7), 10)
+    hin = jax.random.normal(kf[0], (B, L, H), jnp.float32)
+    W_in = jax.random.normal(kf[1], (H, 2 * d)) * 0.05
+    conv_w = jax.random.normal(kf[2], (4, 1, d)) * 0.3
+    conv_b = jax.random.normal(kf[3], (d,)) * 0.1
+    W_x = jax.random.normal(kf[4], (d, dt_rank + 2 * N)) * 0.1
+    W_dt = jax.random.normal(kf[5], (dt_rank, d)) * 0.1
+    b_dt = jax.random.normal(kf[6], (d,)) * 0.1
+    A_f = -jnp.exp(jax.random.normal(kf[7], (d, N)) * 0.5)
+    D_f = jax.random.normal(kf[8], (d,))
+    W_out = jax.random.normal(kf[9], (d, H)) * 0.05
+
+    def _fused(h, *w):
+        return mamba_inner_pallas(h, *w, d_state=N, dt_rank=dt_rank,
+                                  seg=args.seg, seg_bwd=args.seg_bwd)
+
+    @jax.jit
+    def fused_fwd(h, *w):
+        acc = 0.0
+        for _ in range(K):
+            y = _fused(h + acc * 1e-20, *w)
+            acc = jnp.sum(y[0, 0].astype(jnp.float32))
+        return acc
+
+    @jax.jit
+    def fused_fwdbwd(h, *w):
+        def loss(*a):
+            return jnp.sum(_fused(*a).astype(jnp.float32))
+        acc = 0.0
+        for _ in range(K):
+            g = jax.grad(loss)(h + acc * 1e-20, *w)
+            acc = jnp.sum(g[0, 0])
+        return acc
+
+    wts = (W_in, conv_w, conv_b, W_x, W_dt, b_dt, A_f, D_f, W_out)
+    t_mfwd = _timeit(fused_fwd, hin, *wts, iters=3) / K
+    t_mfb = _timeit(fused_fwdbwd, hin, *wts, iters=3) / K
+    print(f'megakernel: fwd {t_mfwd*1e3:.2f} ms  fwd+bwd '
+          f'{t_mfb*1e3:.2f} ms  (x{per_dir_blocks} dir-blocks: '
+          f'{t_mfwd*per_dir_blocks*1e3:.0f} / '
+          f'{t_mfb*per_dir_blocks*1e3:.0f} ms)', flush=True)
+
     # --- full model ---
     cfg = DiMambaConfig(hidden_size=args.hidden, n_blocks=args.blocks,
                         length=L, vocab_size=16, num_classes=10,
@@ -165,9 +213,13 @@ def main():
     t_step = (time.perf_counter() - t0) / args.iters
     print(f'train step: {t_step*1e3:.2f} ms '
           f'({B*L/t_step/1e3:.0f}K tok/s)', flush=True)
-    print(f'attribution: scan fwd+bwd x{per_dir_blocks} = '
+    print(f'attribution (unfused scan): fwd+bwd x{per_dir_blocks} = '
           f'{t_fb*per_dir_blocks*1e3:.0f} ms; remainder = '
           f'{(t_step - t_fb*per_dir_blocks)*1e3:.0f} ms', flush=True)
+    print(f'attribution (megakernel, the default step): fwd+bwd '
+          f'x{per_dir_blocks} = {t_mfb*per_dir_blocks*1e3:.0f} ms; '
+          f'remainder (embed/head/loss/opt/adaLN) = '
+          f'{(t_step - t_mfb*per_dir_blocks)*1e3:.0f} ms', flush=True)
 
 
 if __name__ == '__main__':
