@@ -61,12 +61,19 @@ def run_one(fused: bool, steps: int, args, perturb: bool = False):
     params = model.init(rng, x0, jnp.ones((1,)),
                         jnp.zeros((1,), jnp.int32))['params']
     if perturb:
-        # Butterfly control: a single float32-ULP-scale nudge on one
-        # leaf. Any trajectory separation this produces is pure
-        # chaotic decorrelation, not bias — it calibrates how much
-        # mid-curve divergence "identical numerics" already implies.
+        # Butterfly control: a 1-ULP nudge on one NONZERO leaf. Any
+        # trajectory separation this produces is pure chaotic
+        # decorrelation, not bias — it calibrates how much mid-curve
+        # divergence "identical numerics" already implies.
+        # (`leaf * (1+1e-7)` was a no-op: the first flattened leaf is
+        # a zero-init bias, and 1e-7 < fp32 eps rounds away on most
+        # nonzero values anyway — the first drive measured ctl=0.0.)
         leaves, tree = jax.tree.flatten(params)
-        leaves[0] = leaves[0] * (1.0 + 1e-7)
+        idx = int(np.argmax([float(jnp.sum(jnp.abs(v)))
+                             for v in leaves]))
+        v = leaves[idx]
+        leaves[idx] = jnp.where(
+            v != 0, jnp.nextafter(v, jnp.inf * jnp.sign(v)), v)
         params = jax.tree.unflatten(tree, leaves)
     optim = OptimSpec(lr=2e-3, num_warmup_steps=50)
     avg = AveragingSpec.ema(0.9999)
