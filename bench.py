@@ -140,7 +140,7 @@ def _mfu(flops, dt):
 def _lm1b_setup(quick, *, causal=False, num_classes=2,
                 bf16_head=True, pallas_attn=False, int8=False):
     from __graft_entry__ import _flagship
-    from ddg_tpu.models import DIT, make_model_apply
+    from ddg_tpu.models import jit_init, DIT, make_model_apply
 
     spec, cfg, model, apply_fn = _flagship(tiny=quick)
     spec = dataclasses.replace(spec, num_classes=num_classes)
@@ -157,7 +157,7 @@ def _lm1b_setup(quick, *, causal=False, num_classes=2,
     rng = jax.random.PRNGKey(0)
     x = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)
     sigma = None if causal else jnp.ones((1,))
-    params = model.init(rng, x, sigma,
+    params = jit_init(model, rng, x, sigma,
                         jnp.zeros((1,), jnp.int32))['params']
     return spec, cfg, apply_fn, params
 
@@ -225,7 +225,7 @@ def _qm9_cbg_setup(quick, *, approx=False, int8=False):
     classifier (classifier_model=tiny-classifier: hidden 512, 8
     blocks), B=16, T=32."""
     from ddg_tpu.diffusion import DiffusionSpec
-    from ddg_tpu.models import (DIT, DITClassifier, DITConfig,
+    from ddg_tpu.models import (jit_init, DIT, DITClassifier, DITConfig,
                                 make_classifier_apply, make_model_apply)
     from ddg_tpu.ops.noise_schedules import LogLinearNoise
 
@@ -256,13 +256,13 @@ def _qm9_cbg_setup(quick, *, approx=False, int8=False):
     apply_fn = make_model_apply(model)
     rng = jax.random.PRNGKey(0)
     x = jax.random.randint(rng, (1, cfg.length), 0, cfg.vocab_size)
-    params = model.init(rng, x, jnp.ones((1,)))['params']
+    params = jit_init(model, rng, x, jnp.ones((1,)))['params']
     clf = DITClassifier(clf_cfg, num_classes=2, pooling='mean')
     clf_apply = make_classifier_apply(clf)
     # CBG-approx differentiates through one-hot inputs; init with the
     # one-hot signature so tracing in-sampler matches.
     x_in = (jax.nn.one_hot(x, cfg.vocab_size) if approx else x)
-    clf_params = clf.init(jax.random.PRNGKey(1), x_in,
+    clf_params = jit_init(clf, jax.random.PRNGKey(1), x_in,
                           jnp.ones((1,)))['params']
     return spec, cfg, clf_cfg, apply_fn, params, clf_apply, clf_params
 
@@ -338,7 +338,7 @@ def bench_nos(args):
     denoiser output head (the trunk runs once; the inner loop
     differentiates only the heads, reference dit.py:516-536 x_emb
     path)."""
-    from ddg_tpu.models import DITClassifier, make_classifier_apply
+    from ddg_tpu.models import jit_init, DITClassifier, make_classifier_apply
     from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
                                   diffusion_sample)
 
@@ -354,7 +354,7 @@ def bench_nos(args):
     # main.py:218-234); init via the x_emb signature.
     clf = DITClassifier(cfg, num_classes=2, pooling='mean')
     clf_apply = make_classifier_apply(clf)
-    clf_params = clf.init(jax.random.PRNGKey(1),
+    clf_params = jit_init(clf, jax.random.PRNGKey(1),
                           jnp.zeros((1, L), jnp.int32), jnp.ones((1,)),
                           jnp.zeros((1, L, D)))['params']
     sampler = SamplerSpec(steps=steps, use_cache=False, fused=False)
@@ -436,7 +436,7 @@ def bench_train_text8(args):
     jitted step only (the input pipeline is benched by main.train's
     tok/s counters)."""
     from ddg_tpu.diffusion import DiffusionSpec
-    from ddg_tpu.models import DIT, DITConfig, make_model_apply
+    from ddg_tpu.models import jit_init, DIT, DITConfig, make_model_apply
     from ddg_tpu.ops.noise_schedules import LogLinearNoise
     from ddg_tpu.runtime.averaging import AveragingSpec
     from ddg_tpu.runtime.optim import OptimSpec
@@ -489,7 +489,7 @@ def bench_train_text8(args):
     apply_fn = make_model_apply(model)
     rng = jax.random.PRNGKey(0)
     x = jax.random.randint(rng, (B, cfg.length), 0, cfg.vocab_size - 1)
-    params = model.init(rng, x[:1], jnp.ones((1,)))['params']
+    params = jit_init(model, rng, x[:1], jnp.ones((1,)))['params']
     optim = OptimSpec(lr=3e-4, num_warmup_steps=2500)
     avg = AveragingSpec.ema(0.9999)
     state = init_train_state(rng, params, optim, avg)
@@ -550,7 +550,7 @@ def bench_dimamba(args):
     path is memory-bound CUDA; FLOPs-based A100 estimates would be
     meaningless."""
     from ddg_tpu.diffusion import DiffusionSpec
-    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.models import jit_init, make_model_apply
     from ddg_tpu.models.dimamba import DiMamba, DiMambaConfig
     from ddg_tpu.ops.noise_schedules import LogLinearNoise
     from ddg_tpu.runtime.averaging import AveragingSpec
@@ -581,7 +581,7 @@ def bench_dimamba(args):
     rng = jax.random.PRNGKey(0)
     x = jax.random.randint(rng, (B, cfg.length), 0, cfg.vocab_size - 1)
     cond = jnp.zeros((B,), jnp.int32)
-    params = model.init(rng, x[:1], jnp.ones((1,)), cond[:1])['params']
+    params = jit_init(model, rng, x[:1], jnp.ones((1,)), cond[:1])['params']
     optim = OptimSpec(lr=2e-3, num_warmup_steps=100)
     avg = AveragingSpec.ema(0.9999)
     state = init_train_state(rng, params, optim, avg)
@@ -628,7 +628,7 @@ def bench_unet(args):
     fused uniform Pallas kernel (reference workload:
     scripts/train_cifar10_unet_guidance.sh + config sampling.steps)."""
     from ddg_tpu.diffusion import DiffusionSpec
-    from ddg_tpu.models import make_model_apply
+    from ddg_tpu.models import jit_init, make_model_apply
     from ddg_tpu.models.unet import UNet, UNetConfig
     from ddg_tpu.ops.noise_schedules import LogLinearNoise
     from ddg_tpu.samplers import (GuidanceSpec, SamplerSpec,
@@ -675,7 +675,7 @@ def bench_unet(args):
     apply_fn = make_model_apply(model)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, L), jnp.int32)
-    params = model.init(rng, x, jnp.ones((1,)),
+    params = jit_init(model, rng, x, jnp.ones((1,)),
                         jnp.zeros((1,), jnp.int32))['params']
     guidance = GuidanceSpec(method='cfg', gamma=2.0, condition=0)
     cond = jnp.zeros((B,), jnp.int32)

@@ -250,7 +250,7 @@ def train_eval_discriminator(real_texts, fake_texts, tokenizer, *,
     import jax
     import jax.numpy as jnp
 
-    from ddg_tpu.models import DITClassifier, DITConfig, \
+    from ddg_tpu.models import DITClassifier, DITConfig, jit_init, \
         make_classifier_apply
     from ddg_tpu.runtime.averaging import AveragingSpec
     from ddg_tpu.runtime.optim import OptimSpec
@@ -285,7 +285,8 @@ def train_eval_discriminator(real_texts, fake_texts, tokenizer, *,
                         compute_dtype=jnp.float32)
         clf = DITClassifier(cfg, num_classes=2)
     key = jax.random.PRNGKey(seed)
-    params = clf.init(key, jnp.asarray(x[:1]), jnp.ones((1,)))['params']
+    params = jit_init(clf, key, jnp.asarray(x[:1]),
+                      jnp.ones((1,)))['params']
     apply_fn = make_classifier_apply(clf)
     spec = ClassifierSpec(diffusion='absorbing_state',
                           parameterization='subs',

@@ -28,7 +28,7 @@ from ddg_tpu.data.tokenizers import get_tokenizer
 from ddg_tpu.diffusion import DiffusionSpec
 from ddg_tpu.eval_utils import (MeanMetric, compute_ppl,
                                 unigram_entropy)
-from ddg_tpu.models import (DIT, DITClassifier, DITConfig,
+from ddg_tpu.models import (DIT, DITClassifier, DITConfig, jit_init,
                             make_classifier_apply, make_model_apply)
 from ddg_tpu.ops.noise_schedules import get_noise
 from ddg_tpu.parallel import mesh as mesh_lib
@@ -594,11 +594,13 @@ def train(config: Config, *, max_steps_override: Optional[int] = None):
                           loader.take_first(), accum=accum)
     ex_ids = example['input_ids'].reshape(-1,
                                           example['input_ids'].shape[-1])
-    sigma0 = None if spec.parameterization == 'ar' else jnp.ones((1,))
-    cond0 = (jnp.zeros((1,), jnp.int32)
+    sigma0 = (None if spec.parameterization == 'ar'
+              else np.ones((1,), np.float32))
+    cond0 = (np.zeros((1,), np.int32)
              if _wants_cond(config) else None)
-    params = model.init(init_rng, jnp.asarray(ex_ids[:1]), sigma0,
-                        cond0)['params']
+    params = jit_init(model, init_rng,
+                      np.asarray(ex_ids[:1], np.int32), sigma0,
+                      cond0)['params']
     params = _maybe_load_pretrained(config, params)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(params))
@@ -897,8 +899,8 @@ def train_classifier(config: Config):
     ex = loader.take_first()
     sigma0 = (None if (clf_spec.parameterization == 'ar'
                        or clf_spec.is_eval_classifier)
-              else jnp.ones((1,)))
-    params = model.init(rng, jnp.asarray(
+              else np.ones((1,), np.float32))
+    params = jit_init(model, rng, np.asarray(
         ex['input_ids'][:1].astype(np.int32)), sigma0)['params']
 
     # PPLM/NOS classifiers reuse the frozen pretrained diffusion
@@ -968,8 +970,8 @@ def restore_eval_classifier(config: Config, path: str):
     dspec = build_diffusion_spec(config, tokenizer)
     model, _, clf_apply = build_classifier_model(config, dspec)
     rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((1, int(config.classifier_model.length)), jnp.int32)
-    params = model.init(rng, x0, None)['params']
+    x0 = np.zeros((1, int(config.classifier_model.length)), np.int32)
+    params = jit_init(model, rng, x0, None)['params']
     state = init_train_state(rng, params, build_optim_spec(config),
                              build_averaging_spec(config))
     name = os.path.basename(path.rstrip('/'))
@@ -990,10 +992,10 @@ def _restore_classifier_for_sampling(config: Config):
     dspec = build_diffusion_spec(config, tokenizer)
     model, _, clf_apply = build_classifier_model(config, dspec)
     rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((1, int(config.classifier_model.length)), jnp.int32)
+    x0 = np.zeros((1, int(config.classifier_model.length)), np.int32)
     sigma0 = (None if dspec.parameterization == 'ar'
-              else jnp.ones((1,)))
-    params = model.init(rng, x0, sigma0)['params']
+              else np.ones((1,), np.float32))
+    params = jit_init(model, rng, x0, sigma0)['params']
     state = init_train_state(rng, params, build_optim_spec(config),
                              build_averaging_spec(config))
     name = os.path.basename(path.rstrip('/'))
@@ -1142,10 +1144,12 @@ def _restore_for_eval(config: Config):
     model, model_cfg, apply_fn = build_model(config, spec)
     rng = jax.random.PRNGKey(int(config.seed))
     length = int(config.model.length)
-    sigma0 = None if spec.parameterization == 'ar' else jnp.ones((1,))
-    cond0 = jnp.zeros((1,), jnp.int32) if _wants_cond(config) else None
-    x0 = jnp.zeros((1, length), jnp.int32)
-    params = model.init(rng, x0, sigma0, cond0)['params']
+    sigma0 = (None if spec.parameterization == 'ar'
+              else np.ones((1,), np.float32))
+    cond0 = (np.zeros((1,), np.int32)
+             if _wants_cond(config) else None)
+    x0 = np.zeros((1, length), np.int32)
+    params = jit_init(model, rng, x0, sigma0, cond0)['params']
     params = _maybe_load_pretrained(config, params)
     optim_spec = build_optim_spec(config)
     avg_spec = build_averaging_spec(config)

@@ -26,6 +26,35 @@ def _dropout_rng(rng):
         jnp.concatenate([data, data]).astype(jnp.uint32), impl='rbg')
 
 
+def jit_init(module, rng, *args, **kwargs):
+    """flax `module.init` as ONE locally-compiled program.
+
+    Eager init executes the traced forward primitive-by-primitive, and
+    on a remote-compile backend (the axon TPU tunnel) every distinct
+    primitive signature is its own blocking compile round-trip:
+    measured 263 s for a TINY 0.27M-param DiT init on chip. Jitting
+    the init and running it remotely is no better (the one-off init
+    program itself compiled for 300-460 s on the remote service), so
+    on non-CPU backends the init runs as one jitted program on the
+    HOST CPU backend and the params are uploaded with device_put —
+    measured 3.7 s + 1.4 s for the same model. Bit-identical params
+    either way: threefry RNG is backend-deterministic (the test suite
+    already relies on this). Trace-time sharding guards
+    (dit._tp_constrain/_ambient_axis_size) behave identically under
+    jit with no ambient mesh."""
+    if jax.default_backend() == 'cpu':
+        return jax.jit(module.init)(rng, *args, **kwargs)
+    try:
+        cpu = jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+        return jax.jit(module.init)(rng, *args, **kwargs)
+    rng, args, kwargs = jax.tree.map(
+        lambda x: jax.device_put(x, cpu), (rng, args, kwargs))
+    with jax.default_device(cpu):
+        out = jax.jit(module.init)(rng, *args, **kwargs)
+    return jax.device_put(out, jax.devices()[0])
+
+
 def make_model_apply(module):
     """Wrap a flax denoiser module into the ModelApply protocol:
     (params, x, sigma, cond, x_emb, *, train, rng,
